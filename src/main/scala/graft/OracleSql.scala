@@ -1,0 +1,316 @@
+package graft
+
+/** ANSI-SQL twins of every oracle-checked query, runnable by DuckDB against
+  * the same parquet tables (driver contract — Verify.scala:4-5).
+  *
+  * The synthetic-sequence CTEs mirror graft.gen.SyntheticTokens FORMULA FOR
+  * FORMULA: pure integer arithmetic only, every intermediate < 2^63 and
+  * non-negative (so `%` == pmod and DuckDB's checked arithmetic never
+  * trips). Double-valued outputs are restricted to expressions whose
+  * floating-point evaluation order is identical in both engines
+  * (index-ordered left folds, max over identical terms) or rounded at a
+  * safety margin far above 1 ulp.
+  */
+object OracleSql {
+
+  private val Base =
+    """base AS (
+      |  SELECT doc_id AS orig, doc_id % 50 AS cls, source,
+      |         CAST(1 + (doc_id*40503 + 17) % 512 AS INTEGER) AS n_tok0
+      |  FROM documents
+      |)""".stripMargin
+
+  private val SeqsCte =
+    """seqs AS (
+      |  SELECT printf('doc-%012d', orig) AS doc_id,
+      |         list_transform(range(0, n_tok0),
+      |           i -> CAST((orig*2654435761 + i*97003 + 7) % 32768 AS INTEGER)) AS tokens,
+      |         n_tok0 AS n_tok, source, orig
+      |  FROM base
+      |)""".stripMargin
+
+  private val Seqs = Base + ",\n" + SeqsCte
+
+  private val Dirty = Base +
+    """,
+      |dirty AS (
+      |  SELECT
+      |    CASE WHEN cls = 1 THEN NULL
+      |         WHEN cls = 2 THEN printf('doc-%012d', 999000)
+      |         WHEN cls = 7 THEN printf('doc-%012d', 999007)
+      |         ELSE printf('doc-%012d', orig) END AS doc_id,
+      |    list_transform(range(0, n_tok0),
+      |      i -> CASE WHEN cls = 6 AND i = 0 THEN CAST(-1 AS INTEGER)
+      |                ELSE CAST((orig*2654435761 + i*97003 + 7) % 32768 AS INTEGER) END) AS tokens,
+      |    CASE WHEN cls = 4 THEN CAST(9999 AS INTEGER)
+      |         WHEN cls = 5 THEN CAST(0 AS INTEGER)
+      |         ELSE n_tok0 END AS n_tok,
+      |    CASE WHEN cls = 3 THEN '__unknown__' ELSE source END AS source,
+      |    orig
+      |  FROM base
+      |)""".stripMargin
+
+  private val DirtyAndSeqs = Dirty + ",\n" + SeqsCte
+
+  /** Per-row violation-count expression over `dirty` (mirrors the compiled
+    * row-constraint suite of TokenSchema.sequences, including the
+    * never-firing width/required terms, which add 0).
+    */
+  private val Vc =
+    """(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+      | + (CASE WHEN doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{12}$') THEN 1 ELSE 0 END)
+      | + (CASE WHEN tokens IS NULL THEN 1 ELSE 0 END)
+      | + (CASE WHEN tokens IS NOT NULL AND len(list_filter(tokens, t -> t IS NULL OR t < 0 OR t > 32767)) > 0 THEN 1 ELSE 0 END)
+      | + (CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END)
+      | + (CASE WHEN n_tok IS NOT NULL AND (n_tok < 1 OR n_tok > 8192) THEN 1 ELSE 0 END)
+      | + (CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+      | + (CASE WHEN tokens IS NOT NULL AND n_tok IS NOT NULL AND len(tokens) <> n_tok THEN 1 ELSE 0 END)""".stripMargin
+
+  private def listSumBigint(expr: String): String =
+    s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($expr, t -> CAST(t AS BIGINT))), (a, x) -> a + x) AS BIGINT)"
+
+  val all: Map[String, String] = Map(
+
+    "seq_synth" -> s"""WITH $Seqs
+      |SELECT doc_id, n_tok, source,
+      |       ${listSumBigint("tokens")} AS sum_tokens,
+      |       tokens[1] AS t_first, tokens[n_tok] AS t_last
+      |FROM seqs ORDER BY doc_id""".stripMargin,
+
+    "row_violations" -> s"""WITH $Dirty
+      |SELECT doc_id, constraint_id FROM (
+      |  SELECT doc_id, 'required_doc_id' AS constraint_id FROM dirty WHERE doc_id IS NULL
+      |  UNION ALL
+      |  SELECT doc_id, 'regex_doc_id' FROM dirty
+      |    WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{12}$$')
+      |  UNION ALL
+      |  SELECT doc_id, 'array_elem_tokens' FROM dirty
+      |    WHERE tokens IS NOT NULL AND len(list_filter(tokens, t -> t IS NULL OR t < 0 OR t > 32767)) > 0
+      |  UNION ALL
+      |  SELECT doc_id, 'range_n_tok' FROM dirty
+      |    WHERE n_tok IS NOT NULL AND (n_tok < 1 OR n_tok > 8192)
+      |  UNION ALL
+      |  SELECT doc_id, 'size_consistent' FROM dirty
+      |    WHERE tokens IS NOT NULL AND n_tok IS NOT NULL AND len(tokens) <> n_tok
+      |) v ORDER BY constraint_id, doc_id NULLS FIRST""".stripMargin,
+
+    "unique_dups" -> s"""WITH $Dirty
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt
+      |FROM dirty WHERE doc_id IS NOT NULL
+      |GROUP BY doc_id HAVING count(*) > 1 ORDER BY doc_id""".stripMargin,
+
+    "ref_violations" -> s"""WITH $Dirty
+      |SELECT doc_id, source FROM dirty
+      |WHERE source NOT IN (SELECT DISTINCT source FROM documents)
+      |ORDER BY doc_id""".stripMargin,
+
+    "token_equality" -> s"""WITH $DirtyAndSeqs
+      |SELECT d.doc_id,
+      |       CASE WHEN r.doc_id IS NULL THEN 'missing_in_ref'
+      |            ELSE 'tokens_mismatch' END AS status
+      |FROM dirty d LEFT JOIN seqs r ON d.doc_id = r.doc_id
+      |WHERE r.doc_id IS NULL OR d.tokens <> r.tokens
+      |ORDER BY status, d.doc_id NULLS FIRST""".stripMargin,
+
+    "col_stats" -> s"""WITH $Dirty
+      |SELECT CAST(count(*) AS BIGINT) AS rows,
+      |  CAST(count(doc_id) AS BIGINT) AS doc_id_count,
+      |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_nulls,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_id_distinct,
+      |  CAST(count(n_tok) AS BIGINT) AS n_tok_count,
+      |  CAST(min(n_tok) AS INTEGER) AS n_tok_min,
+      |  CAST(max(n_tok) AS INTEGER) AS n_tok_max,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+      |  quantile_cont(n_tok, 0.5) AS n_tok_p50,
+      |  quantile_cont(n_tok, 0.9) AS n_tok_p90,
+      |  quantile_cont(n_tok, 0.99) AS n_tok_p99,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS source_distinct,
+      |  min(source) AS source_min,
+      |  max(source) AS source_max
+      |FROM dirty""".stripMargin,
+
+    "partition_summary" -> s"""WITH $Dirty,
+      |v AS (SELECT source, $Vc AS vc FROM dirty)
+      |SELECT source, CAST(count(*) AS BIGINT) AS rows,
+      |  CAST(sum(CASE WHEN vc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows,
+      |  CAST(sum(vc) AS BIGINT) AS violation_count,
+      |  sum(vc) = 0 AS pass
+      |FROM v GROUP BY ROLLUP(source) ORDER BY source NULLS FIRST""".stripMargin,
+
+    "drift_hist" -> s"""WITH $Base
+      |SELECT CAST(orig % 2 AS INTEGER) AS epoch,
+      |       CAST(floor(n_tok0 / 32.0) AS INTEGER) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "drift_stats" -> s"""WITH $Base,
+      |h AS (SELECT CAST(floor(n_tok0 / 32.0) AS INTEGER) AS bucket,
+      |             sum(CASE WHEN orig % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+      |             sum(CASE WHEN orig % 2 = 1 THEN 1 ELSE 0 END) AS c1
+      |      FROM base GROUP BY 1),
+      |c AS (SELECT bucket, c0, c1,
+      |             sum(c0) OVER (ORDER BY bucket) AS cum0,
+      |             sum(c1) OVER (ORDER BY bucket) AS cum1,
+      |             sum(c0) OVER () AS n0, sum(c1) OVER () AS n1
+      |      FROM h),
+      |t AS (SELECT bucket, abs(CAST(cum0 AS DOUBLE)/n0 - CAST(cum1 AS DOUBLE)/n1) AS d,
+      |             CAST(n0*(c0+c1) AS DOUBLE)/(n0+n1) AS e0,
+      |             CAST(n1*(c0+c1) AS DOUBLE)/(n0+n1) AS e1,
+      |             c0, c1, n0, n1
+      |      FROM c)
+      |SELECT round(max(d), 6) AS ks,
+      |       round(sum((CASE WHEN e0 > 0 THEN (c0-e0)*(c0-e0)/e0 ELSE 0 END)
+      |               + (CASE WHEN e1 > 0 THEN (c1-e1)*(c1-e1)/e1 ELSE 0 END)), 6) AS chi2,
+      |       CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1
+      |FROM t""".stripMargin,
+
+    "events_drift" -> """SELECT event_type,
+      |  CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END AS half,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  min(value) AS vmin, max(value) AS vmax
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "json_roundtrip" ->
+      "SELECT doc_id, CAST(TRUE AS BOOLEAN) AS ok FROM documents ORDER BY doc_id",
+
+    "schema_dispatch" -> """SELECT CASE doc_id % 3 WHEN 0 THEN 'DocA' WHEN 1 THEN 'DocB'
+      |  ELSE '__unknown__' END AS record_name,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ckpt_resume" -> """WITH parts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS rows FROM documents GROUP BY source)
+      |SELECT source, rows FROM parts
+      |WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 1
+      |ORDER BY source""".stripMargin,
+
+    "q1_agg" -> """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sum_base,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DECIMAL(38,6)) AS sum_disc,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_pushdown" -> """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sum_qty
+      |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 25.0""".stripMargin,
+
+    "q_join_agg" -> """SELECT c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_topk" -> """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(20,2)) AS price
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_window" -> """WITH r AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey AS latest_order FROM r WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin,
+
+    "dedup_exact" -> """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0)
+      |SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(min(doc_id) AS BIGINT) AS exemplar
+      |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" -> """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' graft extra suffix tokens' AS text
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |t AS (SELECT doc_id, md5(substr(text, 1, 24)) AS blk,
+      |        list_distinct(list_transform(
+      |          range(0, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+      |          j -> regexp_split_to_array(trim(text), '\s+')[j+1] || ' ' ||
+      |               regexp_split_to_array(trim(text), '\s+')[j+2] || ' ' ||
+      |               regexp_split_to_array(trim(text), '\s+')[j+3])) AS sh
+      |      FROM corpus)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |             / len(list_distinct(a.sh || b.sh)), 6) AS jac
+      |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) >= 0.3
+      |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "sim_topk" -> """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 10),
+      |s AS (SELECT q.qid, e.vec_id,
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e.embedding) + 1),
+      |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+      |          (a, x) -> a + x)
+      |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             list_transform(range(1, len(e.embedding) + 1),
+      |               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+      |             (a, x) -> a + x))
+      |         * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             list_transform(range(1, len(q.qe) + 1),
+      |               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+      |             (a, x) -> a + x))) AS cos
+      |      FROM e, q WHERE e.vec_id <> q.qid),
+      |r AS (SELECT qid, vec_id,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      |      FROM s)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+      |       CAST(vec_id AS BIGINT) AS neighbor
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "text_tokens" -> """SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS words
+      |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" -> """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS words,
+      |    CAST(length(regexp_replace(text, '[^.,!?]', '', 'g')) AS BIGINT) AS punct,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |         w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS stops
+      |  FROM documents)
+      |SELECT doc_id, words, punct, stops,
+      |  CASE WHEN words >= 50 AND stops > 0 THEN CAST(2 AS BIGINT)
+      |       WHEN words >= 20 THEN CAST(1 AS BIGINT)
+      |       ELSE CAST(0 AS BIGINT) END AS quality
+      |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" -> """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('the','a','of'))) AS BIGINT) AS c_en,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('der','die','und'))) AS BIGINT) AS c_de,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('el','los','que'))) AS BIGINT) AS c_es,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('le','les','est'))) AS BIGINT) AS c_fr
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, greatest(c_en, c_de, c_es, c_fr) AS best,
+      |             c_en, c_de, c_es, c_fr FROM t),
+      |o AS (SELECT doc_id, lang,
+      |        CASE WHEN c_en > 0 AND c_en = best THEN 'en'
+      |             WHEN c_de > 0 AND c_de = best THEN 'de'
+      |             WHEN c_es > 0 AND c_es = best THEN 'es'
+      |             WHEN c_fr > 0 AND c_fr = best THEN 'fr'
+      |             ELSE 'und' END AS pred
+      |      FROM p)
+      |SELECT doc_id, pred, lang, pred = lang AS hit FROM o ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" -> """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |      w -> CAST((length(w)*131 + ascii(substr(w, 1, 1))) % 1000000007 AS BIGINT))),
+      |    (acc, x) -> (acc*1000003 + x) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" -> """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(64 + strlen(text) % 577 AS BIGINT) AS width,
+      |  CAST(64 + (strlen(text) * 31) % 577 AS BIGINT) AS height,
+      |  CAST(1 + strlen(text) % 24 AS BIGINT) AS frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,349 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ckpt.Checkpoint
+import graft.compile.ConstraintCompiler
+import graft.constraint._
+import graft.dedup.Dedup
+import graft.drift.DriftCheck
+import graft.gen.SyntheticTokens
+import graft.json.JsonCodec
+import graft.multimodal.MediaPipeline
+import graft.ref.ReferentialCheck
+import graft.run.Validator
+import graft.schema._
+import graft.sim.Knn
+import graft.stats.StatsPass
+import graft.text.TextAnalysis
+import graft.unique.SaltedUniqueness
+
+/** The authoritative input schema (BASELINE.json:15) declared in the
+  * engine's DSL — the four fields + the full table-constraint suite.
+  */
+object TokenSchema {
+  val VocabMax = 32767L
+
+  lazy val sequences: RecordSchema = RecordSchema(
+    "TokenizedSequence",
+    Seq(
+      FieldSpec("doc_id", TextT, required = true, regex = Some("^doc-[0-9]{12}$")),
+      FieldSpec("tokens",
+        ListT(IntT(4), containsNull = false, elemMin = Some(0L), elemMax = Some(VocabMax)),
+        required = true),
+      FieldSpec("n_tok", IntT(4), required = true, min = Some(1L), max = Some(8192L)),
+      FieldSpec("source", TextT, required = true)),
+    tableConstraints = Seq(
+      ArraySizeEquals("tokens", "n_tok"),
+      Unique("doc_id"),
+      RefIntegrity("source", "sources", "source")))
+
+  lazy val document: RecordSchema = RecordSchema(
+    "Document",
+    Seq(
+      FieldSpec("doc_id", IntT(8), required = true),
+      FieldSpec("text", TextT, required = true),
+      FieldSpec("lang", EnumT(Seq("de", "en", "es", "fr", "zh"))),
+      FieldSpec("source", TextT, required = true),
+      FieldSpec("n_chars", IntT(8))))
+}
+
+/** All operator queries (SparkEntry.queries bodies). Every oracle-checked
+  * query orders its output deterministically and uses only types/values
+  * that DuckDB reproduces byte-exactly (integers, strings, decimals,
+  * index-ordered double folds).
+  */
+object Queries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def li(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  private def clean(s: SparkSession, dir: String) = SyntheticTokens.cleanFrom(s, dir)
+  private def dirty(s: SparkSession, dir: String) = SyntheticTokens.dirtyFrom(s, dir)
+
+  // ---------- core validation engine ----------
+
+  /** Synthesis checksum — proves the Spark and oracle token generators are
+    * identical without putting arrays in the compared output.
+    */
+  def seqSynth(s: SparkSession, dir: String): DataFrame =
+    clean(s, dir).select(
+      col("doc_id"),
+      col("n_tok"),
+      col("source"),
+      aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("sum_tokens"),
+      element_at(col("tokens"), 1).as("t_first"),
+      element_at(col("tokens"), size(col("tokens"))).as("t_last")
+    ).orderBy(col("doc_id"))
+
+  /** Row-validation pass over the planted-violation table (T3+T4). */
+  def rowViolations(s: SparkSession, dir: String): DataFrame =
+    ConstraintCompiler
+      .violations(dirty(s, dir), TokenSchema.sequences.rowConstraints, Seq("doc_id"))
+      .orderBy(col("constraint_id"), col("doc_id").asc_nulls_first)
+
+  /** Salted two-stage uniqueness (T6). */
+  def uniqueDups(s: SparkSession, dir: String): DataFrame =
+    SaltedUniqueness.duplicates(dirty(s, dir), "doc_id").orderBy(col("doc_id"))
+
+  /** Broadcast anti-join referential check (T7). */
+  def refViolations(s: SparkSession, dir: String): DataFrame =
+    ReferentialCheck
+      .orphans(dirty(s, dir), "source", SyntheticTokens.sourcesDim(docs(s, dir)), "source")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Per-row token-array equality vs the reference slice (T10). */
+  def tokenEquality(s: SparkSession, dir: String): DataFrame = {
+    val d = dirty(s, dir).select(col("doc_id"), col("tokens"))
+    val r = clean(s, dir).select(col("doc_id").as("r_doc_id"), col("tokens").as("r_tokens"))
+    d.join(r, col("doc_id") === col("r_doc_id"), "left")
+      .filter(col("r_doc_id").isNull || !(col("tokens") <=> col("r_tokens")))
+      .select(col("doc_id"),
+        when(col("r_doc_id").isNull, lit("missing_in_ref"))
+          .otherwise(lit("tokens_mismatch")).as("status"))
+      .orderBy(col("status"), col("doc_id").asc_nulls_first)
+  }
+
+  /** Single-pass per-column stats (T5) — ONE agg call, exact flavor. */
+  def colStats(s: SparkSession, dir: String): DataFrame =
+    StatsPass.run(dirty(s, dir), Seq(
+      count(lit(1)).as("rows"),
+      count(col("doc_id")).as("doc_id_count"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("doc_id_nulls"),
+      count_distinct(col("doc_id")).as("doc_id_distinct"),
+      count(col("n_tok")).as("n_tok_count"),
+      min(col("n_tok")).as("n_tok_min"),
+      max(col("n_tok")).as("n_tok_max"),
+      sum(col("n_tok").cast("long")).as("n_tok_sum"),
+      percentile(col("n_tok"), lit(0.5)).as("n_tok_p50"),
+      percentile(col("n_tok"), lit(0.9)).as("n_tok_p90"),
+      percentile(col("n_tok"), lit(0.99)).as("n_tok_p99"),
+      count_distinct(col("source")).as("source_distinct"),
+      min(col("source")).as("source_min"),
+      max(col("source")).as("source_max")))
+
+  /** Sketch flavor (scale path; no byte-exact SQL twin → rows-only check). */
+  def colStatsSketch(s: SparkSession, dir: String): DataFrame =
+    StatsPass.run(dirty(s, dir),
+      StatsPass.sketchNumeric("n_tok") :+
+        approx_count_distinct(col("doc_id")).as("doc_id_approx_distinct"))
+
+  /** Per-partition pass/fail summary with rollup total (T9+T13). */
+  def partitionSummary(s: SparkSession, dir: String): DataFrame =
+    Validator.summary(dirty(s, dir), TokenSchema.sequences, "source")
+      .orderBy(col("source").asc_nulls_first)
+
+  /** Exact per-epoch histogram feeding the drift stats (T8). */
+  def driftHist(s: SparkSession, dir: String): DataFrame =
+    DriftCheck.histogram(
+      clean(s, dir).withColumn("epoch", pmod(col("orig"), lit(2L))),
+      "n_tok", "epoch", 32L)
+      .orderBy(col("epoch"), col("bucket"))
+
+  /** Two-sample KS + chi-square drift statistics (T8). */
+  def driftStats(s: SparkSession, dir: String): DataFrame =
+    DriftCheck.run(
+      clean(s, dir).withColumn("epoch", pmod(col("orig"), lit(2L))),
+      "n_tok", "epoch", 32L)
+
+  /** Drift on a provided table: events value distribution across month
+    * halves (exact counts + order-free min/max).
+    */
+  def eventsDrift(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"),
+        when(dayofmonth(col("ts")) >= 16, 1).otherwise(0).as("half"))
+      .agg(count(lit(1)).as("cnt"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .orderBy(col("event_type"), col("half"))
+
+  /** JSON round-trip with discriminator (R7–R9): dumps → loads ≡ original. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val js = d.withColumn("_js", JsonCodec.dumps(d, TokenSchema.document))
+      .withColumn("_rec", JsonCodec.loadsAs(col("_js"), TokenSchema.document))
+    js.select(col("doc_id"),
+      (col("_rec.doc_id") <=> col("doc_id") &&
+        col("_rec.text") <=> col("text") &&
+        col("_rec.lang") <=> col("lang") &&
+        col("_rec.source") <=> col("source") &&
+        col("_rec.n_chars") <=> col("n_chars")).as("ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registry dispatch on $record_name (R10): known names parse per-schema,
+    * unknown names become violations, never exceptions.
+    */
+  def schemaDispatch(s: SparkSession, dir: String): DataFrame = {
+    RecordSchema("DocA", Seq(FieldSpec("doc_id", IntT(8)), FieldSpec("source", TextT)))
+    RecordSchema("DocB", Seq(FieldSpec("doc_id", IntT(8)), FieldSpec("source", TextT)))
+    val name = when(pmod(col("doc_id"), lit(3L)) === 0L, "DocA")
+      .when(pmod(col("doc_id"), lit(3L)) === 1L, "DocB")
+      .otherwise("MysteryRec")
+    val payloads = docs(s, dir).select(
+      to_json(struct(name.as(JsonCodec.Discriminator), col("doc_id"), col("source")))
+        .as("payload"))
+    val (parsed, unknown) = JsonCodec.dispatch(payloads, "payload", Seq("DocA", "DocB"))
+    val known = parsed.toSeq.sortBy(_._1).map { case (n, df) =>
+      df.agg(count(lit(1)).as("n")).select(lit(n).as("record_name"), col("n"))
+    }
+    val unk = unknown.agg(count(lit(1)).as("n"))
+      .select(lit("__unknown__").as("record_name"), col("n"))
+    known.reduce(_ unionByName _).unionByName(unk).orderBy(col("record_name"))
+  }
+
+  /** Checkpoint resume (T12): partitions minus latest-done checkpoint. */
+  def ckptResume(s: SparkSession, dir: String): DataFrame = {
+    val parts = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("rows"))
+    val ckpt = parts
+      .filter(pmod(substring(col("source"), 4, 8).cast("int"), lit(2)) === 0)
+      .select(lit("run-0").as("run_id"), col("source").as("partition_key"),
+        lit("done").as("status"), lit(null).cast("string").as("metrics_json"),
+        lit(null).cast("string").as("lineage_json"), lit(0L).as("seq"))
+    Checkpoint.remaining(parts, "source", ckpt)
+      .select(col("source"), col("rows"))
+      .orderBy(col("source"))
+  }
+
+  // ---------- relational operator breadth (TPC-H-ish tables) ----------
+
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+      sum(col("l_quantity").cast("decimal(20,2)")).cast("decimal(38,6)").as("sum_qty"),
+      sum(col("l_extendedprice").cast("decimal(20,2)")).cast("decimal(38,6)").as("sum_base"),
+      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(20,4)"))
+        .cast("decimal(38,6)").as("sum_disc"),
+      count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  def qFilterPushdown(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") < 25.0)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(20,2)")).cast("decimal(38,6)").as("sum_qty"))
+
+  def qJoinAgg(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,2)")).cast("decimal(38,6)").as("total"))
+      .orderBy(col("c_mktsegment"))
+
+  def qTopK(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(20,2)").as("price"))
+
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+    orders(s, dir).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_order"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // ---------- training-data pipeline operators ----------
+
+  /** Corpus with planted exact copies (doc_id%20==0 → +100000). */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+  }
+
+  /** Corpus with planted NEAR-copies (suffix appended) for similarity dedup. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" graft extra suffix tokens")).as("text")))
+  }
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(dupCorpus(s, dir), "text", "doc_id").orderBy(col("h"))
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), "text", "doc_id", 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(nearDupCorpus(s, dir), "text", "doc_id", 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(nearDupCorpus(s, dir), "text", "doc_id", 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def simTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Knn.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Knn.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("chars"),
+      TextAnalysis.wordCount(col("text")).as("words"))
+      .orderBy(col("doc_id"))
+
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "of")
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.wordCount(col("text")).as("words"),
+      TextAnalysis.punctCount(col("text")).as("punct"),
+      TextAnalysis.stopwordCount(col("text"), stops).as("stops"))
+      .withColumn("quality",
+        TextAnalysis.qualityBucket(col("words"), col("stops"), col("punct")))
+      .orderBy(col("doc_id"))
+  }
+
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.predictedLang(col("text")).as("pred"),
+      col("lang"),
+      (TextAnalysis.predictedLang(col("text")) === col("lang")).as("hit"))
+      .orderBy(col("doc_id"))
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    MediaPipeline.metaColumns(docs(s, dir)).orderBy(col("doc_id"))
+
+  // ---------- flagship ----------
+
+  /** Full validation suite → unified violation rows (BASELINE.json:6). */
+  def flagshipViolations(s: SparkSession, dir: String): DataFrame = {
+    val d = dirty(s, dir)
+    Validator.violations(d, TokenSchema.sequences, "doc_id",
+      Map("sources" -> SyntheticTokens.sourcesDim(docs(s, dir))))
+  }
+}

@@ -1,13 +1,64 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 has a `queries` entry; every
+  * SQL-expressible one has a DuckDB twin in `oracleSql` (column names and
+  * types aligned on both sides — the driver sorts columns by name and
+  * hashes values). Sketch/LSH operators (approximate by construction) are
+  * intentionally oracle-less → rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full constraint suite (row + uniqueness + referential) over
+    * the planted-violation token table at sf0.001 → violation rows.
+    * Driver smoke-checks rows > 0 (the plant guarantees 80 violations).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.flagshipViolations(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core validation engine (SURVEY §2.3 T1–T13)
+    "seq_synth" -> (Queries.seqSynth _),
+    "row_violations" -> (Queries.rowViolations _),
+    "unique_dups" -> (Queries.uniqueDups _),
+    "ref_violations" -> (Queries.refViolations _),
+    "token_equality" -> (Queries.tokenEquality _),
+    "col_stats" -> (Queries.colStats _),
+    "col_stats_sketch" -> (Queries.colStatsSketch _),
+    "partition_summary" -> (Queries.partitionSummary _),
+    "drift_hist" -> (Queries.driftHist _),
+    "drift_stats" -> (Queries.driftStats _),
+    "events_drift" -> (Queries.eventsDrift _),
+    "json_roundtrip" -> (Queries.jsonRoundtrip _),
+    "schema_dispatch" -> (Queries.schemaDispatch _),
+    "ckpt_resume" -> (Queries.ckptResume _),
+    // relational breadth
+    "q1_agg" -> (Queries.q1Agg _),
+    "q_filter_pushdown" -> (Queries.qFilterPushdown _),
+    "q_join_agg" -> (Queries.qJoinAgg _),
+    "q_topk" -> (Queries.qTopK _),
+    "q_window" -> (Queries.qWindow _),
+    // training-data pipeline operators
+    "dedup_exact" -> (Queries.dedupExact _),
+    "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
+    "dedup_simhash" -> (Queries.dedupSimhash _),
+    "sim_topk" -> (Queries.simTopK _),
+    "sim_ann_lsh" -> (Queries.simAnnLsh _),
+    "text_tokens" -> (Queries.textTokens _),
+    "text_quality" -> (Queries.textQuality _),
+    "text_lang_id" -> (Queries.textLangId _),
+    "text_fingerprint" -> (Queries.textFingerprint _),
+    "multimodal_meta" -> (Queries.multimodalMeta _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (sketches, LSH) → driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

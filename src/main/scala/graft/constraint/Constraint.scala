@@ -1,0 +1,121 @@
+package graft.constraint
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Constraint ADT — the engine's logical validation language.
+  *
+  * Row constraints compile to a single pure Catalyst `Column` predicate
+  * (`violates`): true ⇔ the row violates the constraint. Null handling
+  * follows the reference's accept/reject semantics (pyschema field.dump:
+  * None is accepted unless the consumer requires the field — SURVEY §1.1
+  * R15): every non-Required constraint passes on NULL input, so each
+  * constraint fires independently and a null row yields exactly the
+  * `required_*` violation.
+  *
+  * Table constraints (Unique, RefIntegrity, Drift) need cross-row context
+  * and are executed by dedicated passes (graft.unique / graft.ref /
+  * graft.drift), not per-row predicates.
+  */
+sealed trait Constraint { def id: String }
+
+sealed trait RowConstraint extends Constraint {
+  /** true ⇔ row VIOLATES the constraint (never null). */
+  def violates: Column
+}
+
+/** Field must be non-null (pyschema required semantics, SURVEY §2.1 R15). */
+final case class Required(column: String) extends RowConstraint {
+  val id = s"required_$column"
+  def violates: Column = col(column).isNull
+}
+
+/** String must match anchored regex when present. */
+final case class RegexMatch(column: String, pattern: String) extends RowConstraint {
+  val id = s"regex_$column"
+  def violates: Column = col(column).isNotNull && !col(column).rlike(pattern)
+}
+
+/** Closed-set membership (pyschema Enum — SURVEY §2.1 R13). */
+final case class EnumIn(column: String, values: Seq[String]) extends RowConstraint {
+  val id = s"enum_$column"
+  def violates: Column = col(column).isNotNull && !col(column).isin(values: _*)
+}
+
+/** Inclusive numeric range (user range constraint). */
+final case class RangeBound(column: String, lo: Long, hi: Long) extends RowConstraint {
+  val id = s"range_$column"
+  def violates: Column = col(column).isNotNull && !col(column).between(lo, hi)
+}
+
+/** Integer byte-width bound (pyschema Integer(size=) — R14); distinct id
+  * from RangeBound so width and user-range checks can coexist on a field.
+  */
+final case class IntWidth(column: String, lo: Long, hi: Long) extends RowConstraint {
+  val id = s"int_width_$column"
+  def violates: Column = col(column).isNotNull && !col(column).between(lo, hi)
+}
+
+/** Every array element within [lo, hi] and (optionally) non-null
+  * (pyschema List element validation — R12). The `tokens` vocabulary
+  * bound of BASELINE.json:15.
+  */
+final case class ArrayElemRange(
+    column: String, lo: Long, hi: Long, allowNullElems: Boolean = false
+) extends RowConstraint {
+  val id = s"array_elem_$column"
+  def violates: Column = {
+    val bad = (t: Column) =>
+      (if (allowNullElems) t.isNotNull && !t.between(lo, hi)
+       else t.isNull || !t.between(lo, hi))
+    col(column).isNotNull && exists(col(column), bad)
+  }
+}
+
+/** Claimed count column equals actual array size — the n_tok == size(tokens)
+  * consistency invariant (BASELINE.json:6).
+  */
+final case class ArraySizeEquals(arrayCol: String, countCol: String) extends RowConstraint {
+  val id = "size_consistent"
+  def violates: Column =
+    col(arrayCol).isNotNull && col(countCol).isNotNull &&
+      size(col(arrayCol)) =!= col(countCol)
+}
+
+/** Float sanity (pyschema Float + no-NaN option). */
+final case class NotNaN(column: String) extends RowConstraint {
+  val id = s"not_nan_$column"
+  def violates: Column = col(column).isNotNull && isnan(col(column))
+}
+
+/** Escape hatch: user-registered named validator. Predicate must be a pure
+  * Column expression (optimization-barrier-free); `violatesWhen` receives
+  * nothing and closes over functions.col — mirrors pyschema custom Field
+  * subclasses (R23) without giving up codegen.
+  */
+final case class CustomRow(id: String, violatesWhen: Column) extends RowConstraint {
+  def violates: Column = coalesce(violatesWhen, lit(false))
+}
+
+// ----- table-level constraints (cross-row passes) -----
+
+/** Key uniqueness — executed by graft.unique.SaltedUniqueness. */
+final case class Unique(column: String) extends Constraint {
+  val id = s"unique_$column"
+}
+
+/** Foreign-key containment in a dimension table — executed by
+  * graft.ref.ReferentialCheck as a broadcast semi/anti join.
+  */
+final case class RefIntegrity(column: String, dimTable: String, dimColumn: String)
+    extends Constraint {
+  val id = s"ref_integrity_$column"
+}
+
+/** Distribution drift between epochs — executed by graft.drift.DriftCheck
+  * (two-sample KS + chi-square over per-epoch histograms).
+  */
+final case class Drift(column: String, epochColumn: String, bucketWidth: Long)
+    extends Constraint {
+  val id = s"drift_$column"
+}

@@ -1,0 +1,128 @@
+package graft.gen
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic tokenized-sequence synthesis (FIXTURES.md §1).
+  *
+  * Derives the authoritative input shape of BASELINE.json:15 —
+  * `(doc_id:string, tokens:array<int32>, n_tok:int32, source:string)` —
+  * from the driver-provided `documents.parquet` via PURE integer column
+  * arithmetic (no RNG, no hash builtins), chosen so the exact same formula
+  * is expressible in ANSI SQL for the DuckDB oracle (see
+  * [[graft.OracleSql]]). Seeded by doc_id alone ⇒ permutation/partition
+  * invariant and stable across engines.
+  *
+  * Formulas (all operands stay far below 2^63 — doc_id ≤ ~10^7, so
+  * doc_id * 2654435761 ≤ 2.7e16; no overflow in either engine):
+  *   n_tok     = 1 + (doc_id*40503 + 17) % 512                ∈ [1, 512]
+  *   tokens[i] = (doc_id*2654435761 + i*97003 + 7) % 32768    ∈ [0, VOCAB)
+  *
+  * The `dirty` variant plants one violation class per doc_id%50 bucket
+  * (closed-form expected violation set — FIXTURES.md §1 "planted-violation
+  * variant"):
+  *   cls 1: doc_id := NULL                  → required_doc_id
+  *   cls 2: doc_id := doc-…999000 (10 dups) → unique_doc_id
+  *   cls 3: source := "__unknown__"         → ref_integrity_source
+  *   cls 4: n_tok := 9999                   → range_n_tok + size_consistent
+  *   cls 5: n_tok := 0                      → range_n_tok + size_consistent
+  *   cls 6: tokens[0] := -1                 → array_elem_tokens (+ token-equality mismatch)
+  *   cls 7: doc_id := doc-…999007 (10 dups) → unique_doc_id (hot key)
+  */
+object SyntheticTokens {
+
+  val Vocab = 32768L
+  val NTokMod = 512L
+  val MaxTok = 8192L
+  val TokA = 2654435761L
+  val TokB = 97003L
+  val TokC = 7L
+  val NA = 40503L
+  val NB = 17L
+  val ClassMod = 50L
+  val DupBase = 999000L
+  val HotBase = 999007L
+
+  private def docIdStr(c: Column): Column = format_string("doc-%012d", c)
+
+  private def nTok0(orig: Column): Column =
+    (lit(1L) + pmod(orig * NA + NB, lit(NTokMod))).cast("int")
+
+  private def tokenAt(orig: Column, i: Column): Column =
+    pmod(orig * TokA + i * TokB + TokC, lit(Vocab)).cast("int")
+
+  /** Clean sequences from a documents frame (doc_id:int64, source:string).
+    * Keeps `orig` (the integer id) for test bookkeeping; engine passes
+    * ignore it.
+    */
+  def clean(documents: DataFrame): DataFrame = {
+    val orig = col("orig")
+    documents
+      .select(col("doc_id").as("orig"), col("source"))
+      .select(
+        docIdStr(orig).as("doc_id"),
+        transform(sequence(lit(0L), nTok0(orig).cast("long") - 1L), i => tokenAt(orig, i))
+          .as("tokens"),
+        nTok0(orig).as("n_tok"),
+        col("source"),
+        orig)
+  }
+
+  /** Planted-violation variant (same shape + `orig`). */
+  def dirty(documents: DataFrame): DataFrame = {
+    val orig = col("orig")
+    val cls = col("cls")
+    documents
+      .select(col("doc_id").as("orig"), pmod(col("doc_id"), lit(ClassMod)).as("cls"),
+        col("source"))
+      .select(
+        when(cls === 1, lit(null).cast("string"))
+          .when(cls === 2, docIdStr(lit(DupBase)))
+          .when(cls === 7, docIdStr(lit(HotBase)))
+          .otherwise(docIdStr(orig)).as("doc_id"),
+        transform(sequence(lit(0L), nTok0(orig).cast("long") - 1L),
+          i => when(cls === 6 && i === 0L, lit(-1).cast("int")).otherwise(tokenAt(orig, i)))
+          .as("tokens"),
+        when(cls === 4, lit(9999).cast("int"))
+          .when(cls === 5, lit(0).cast("int"))
+          .otherwise(nTok0(orig)).as("n_tok"),
+        when(cls === 3, lit("__unknown__")).otherwise(col("source")).as("source"),
+        orig)
+  }
+
+  /** Sources dimension (broadcast side of the referential check):
+    * distinct sources of the CLEAN documents + a deterministic weight.
+    */
+  def sourcesDim(documents: DataFrame): DataFrame =
+    documents.select(col("source")).distinct()
+      .withColumn("weight",
+        (pmod(length(col("source")) * 31 + ascii(substring(col("source"), -1, 1)), lit(100L)) / 100.0))
+
+  def readDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def cleanFrom(spark: SparkSession, sfDir: String): DataFrame =
+    clean(readDocuments(spark, sfDir))
+
+  def dirtyFrom(spark: SparkSession, sfDir: String): DataFrame =
+    dirty(readDocuments(spark, sfDir))
+
+  /** Purely synthetic sequences at arbitrary row count (bench headline:
+    * ≥10^7 rows, BASELINE.md) — same formulas over spark.range, so the
+    * validation suite exercises identical expressions at any scale.
+    * `numPartitions` is pinned by the caller so local[8] and local[32]
+    * process identical splits (scaling-efficiency protocol).
+    */
+  def synthetic(spark: SparkSession, rows: Long, numPartitions: Int,
+                nTokMod: Long = NTokMod): DataFrame = {
+    val orig = col("id")
+    val nTok = (lit(1L) + pmod(orig * NA + NB, lit(nTokMod))).cast("int")
+    spark.range(0L, rows, 1L, numPartitions)
+      .select(
+        docIdStr(orig).as("doc_id"),
+        transform(sequence(lit(0L), nTok.cast("long") - 1L), i => tokenAt(orig, i)).as("tokens"),
+        nTok.as("n_tok"),
+        concat(lit("src"), pmod(orig, lit(20L)).cast("string")).as("source"),
+        orig)
+  }
+}

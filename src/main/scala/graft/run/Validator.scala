@@ -1,0 +1,70 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.compile.ConstraintCompiler
+import graft.constraint._
+import graft.ref.ReferentialCheck
+import graft.schema.RecordSchema
+import graft.unique.SaltedUniqueness
+
+/** End-to-end validation runner (SURVEY §3.2): wires the row pass, the
+  * table-level passes and the per-partition summary into one job.
+  *
+  * Physical profile (SURVEY §4): one scan feeds the row pass + summary
+  * (partial agg) and, via its own branches, the salted uniqueness agg and
+  * the broadcast referential anti-join. At cluster scale the input scan is
+  * shared per branch by the DAG scheduler only if cached; we deliberately
+  * do NOT cache — at 10^12 rows re-scanning columnar Parquet/Iceberg with
+  * column pruning is cheaper than materializing. Each pass reads only the
+  * columns it needs.
+  */
+final case class ValidationResult(
+    violations: DataFrame,       // (keyCol, constraint_id)
+    summary: DataFrame,          // per-partitionCol rollup
+    duplicates: DataFrame        // (keyCol, cnt)
+)
+
+object Validator {
+
+  /** Violations from every constraint source, unioned into the single
+    * violation sink shape (key, constraint_id) of BASELINE.json:6.
+    */
+  def violations(df: DataFrame, schema: RecordSchema, keyCol: String,
+                 dims: Map[String, DataFrame]): DataFrame = {
+    val row = ConstraintCompiler.violations(df, schema.rowConstraints, Seq(keyCol))
+    val table = schema.tableConstraints.flatMap {
+      case u: Unique =>
+        Some(SaltedUniqueness.violations(df, u.column, u.id)
+          .select(col(u.column).as(keyCol), col("constraint_id")))
+      case r: RefIntegrity =>
+        val dim = dims.getOrElse(r.dimTable,
+          sys.error(s"dimension '${r.dimTable}' not supplied"))
+        Some(ReferentialCheck.violations(df, r.column, dim, r.dimColumn, Seq(keyCol), r.id))
+      case _ => None
+    }
+    table.foldLeft(row)(_ unionByName _)
+  }
+
+  /** Per-partition pass/fail summary (T9) with a ROLLUP total row:
+    * (partitionCol, rows, bad_rows, violation_count, pass).
+    * Row-level only — table-level checks report through `violations`.
+    */
+  def summary(df: DataFrame, schema: RecordSchema, partitionCol: String): DataFrame =
+    ConstraintCompiler.withViolations(df, schema.rowConstraints)
+      .rollup(col(partitionCol))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(size(col(ConstraintCompiler.ViolationsCol)) > 0, 1L).otherwise(0L))
+          .as("bad_rows"),
+        sum(size(col(ConstraintCompiler.ViolationsCol)).cast("long")).as("violation_count"))
+      .withColumn("pass", col("violation_count") === 0L)
+
+  def run(df: DataFrame, schema: RecordSchema, keyCol: String, partitionCol: String,
+          dims: Map[String, DataFrame] = Map.empty): ValidationResult = {
+    val dups = schema.tableConstraints.collectFirst { case u: Unique =>
+      SaltedUniqueness.duplicates(df, u.column)
+    }.getOrElse(df.sparkSession.emptyDataFrame)
+    ValidationResult(violations(df, schema, keyCol, dims), summary(df, schema, partitionCol), dups)
+  }
+}

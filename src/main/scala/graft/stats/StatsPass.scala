@@ -1,0 +1,53 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Single-pass per-column statistics (SURVEY §2.3 T5; BASELINE.json:6
+  * "per-column stats via a single-pass partial-aggregate").
+  *
+  * ALL statistics go into ONE `agg(...)` call ⇒ Catalyst plans one
+  * partial (map-side) + one final HashAggregate over a single scan —
+  * the Dataset-native form of a treeAggregate. Never call this per
+  * column; that would rescan the table N times.
+  *
+  * `exact` uses only deterministic, oracle-checkable aggregates
+  * (count / nulls / min / max / sum / exact interpolated percentile);
+  * `sketch` adds the approximate ones (HLL++ distinct, approx quantiles)
+  * that scale to 10^12 rows but have no byte-exact SQL twin.
+  */
+object StatsPass {
+
+  /** Exact stats for a numeric column; one struct of aggregates. */
+  def exactNumeric(c: String): Seq[Column] = Seq(
+    count(col(c)).as(s"${c}_count"),
+    sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+    min(col(c)).as(s"${c}_min"),
+    max(col(c)).as(s"${c}_max"),
+    sum(col(c).cast("long")).as(s"${c}_sum"),
+    percentile(col(c), lit(0.5)).as(s"${c}_p50"),
+    percentile(col(c), lit(0.9)).as(s"${c}_p90"),
+    percentile(col(c), lit(0.99)).as(s"${c}_p99")
+  )
+
+  def exactString(c: String): Seq[Column] = Seq(
+    count(col(c)).as(s"${c}_count"),
+    sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+    min(col(c)).as(s"${c}_min"),
+    max(col(c)).as(s"${c}_max"),
+    count_distinct(col(c)).as(s"${c}_distinct")
+  )
+
+  /** Scale path: sketches only — mergeable, constant memory per partition. */
+  def sketchNumeric(c: String): Seq[Column] = Seq(
+    approx_count_distinct(col(c)).as(s"${c}_approx_distinct"),
+    percentile_approx(col(c), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+      .as(s"${c}_approx_quantiles"),
+    avg(col(c)).as(s"${c}_avg"),
+    stddev_pop(col(c)).as(s"${c}_stddev")
+  )
+
+  /** One single-pass aggregation row from the given aggregate columns. */
+  def run(df: DataFrame, aggs: Seq[Column]): DataFrame =
+    df.agg(aggs.head, aggs.tail: _*)
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.compile.ConstraintCompiler
+import graft.schema.RecordSchema
+
+/** Structured-Streaming face of the engine.
+  *
+  * The reference has no streaming surface (SURVEY §2.2: absent in
+  * pyschema); the engine gets one for free because every built-in
+  * constraint compiles to a PURE Column expression (§2.4): the exact same
+  * predicates attach to a `readStream` plan unchanged. Stateful pieces
+  * (uniqueness) are windowed — global uniqueness over an unbounded stream
+  * is unbounded state; the contract here is uniqueness WITHIN the
+  * watermarked event-time window, which is the deployable semantics.
+  */
+object StreamingValidator {
+
+  /** Per-record violation stream: (keyCol, constraint_id). Append-mode safe
+    * (stateless projection).
+    */
+  def violations(stream: DataFrame, schema: RecordSchema, keyCol: String): DataFrame =
+    ConstraintCompiler.violations(stream, schema.rowConstraints, Seq(keyCol))
+
+  /** Windowed violation counts with watermarked late-data handling. */
+  def windowedViolationCounts(stream: DataFrame, schema: RecordSchema,
+                              tsCol: String, watermark: String,
+                              windowLen: String): DataFrame =
+    ConstraintCompiler.withViolations(stream, schema.rowConstraints)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(size(col(ConstraintCompiler.ViolationsCol)).cast("long")).as("violation_count"))
+
+  /** Duplicate keys within a watermarked window (streaming uniqueness). */
+  def windowedDuplicates(stream: DataFrame, keyCol: String, tsCol: String,
+                         watermark: String, windowLen: String): DataFrame =
+    stream.filter(col(keyCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+
+Registers each parquet table as a view, runs every oracle_sql.json query,
+and compares against the Spark parquet dump: row count, sorted column
+names, and the multiset of rows (columns sorted by name, rows sorted).
+"""
+import sys, json, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        scols, srows = spark_rel.columns, spark_rel.fetchall()
+    except Exception as e:
+        fails.append((name, f"spark output unreadable: {e}"))
+        continue
+    try:
+        duck_rel = con.sql(sql)
+        dcols, drows = duck_rel.columns, duck_rel.fetchall()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    if sorted(scols) != sorted(dcols):
+        fails.append((name, f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}"))
+        continue
+    if len(srows) != len(drows):
+        fails.append((name, f"row count differ: spark={len(srows)} duck={len(drows)}"))
+        continue
+    cs, cd = canon(srows, scols), canon(drows, dcols)
+    if cs != cd:
+        diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+        fails.append((name, f"values differ, first diffs: {diff}"))
+        continue
+    print(f"OK   {name} ({len(srows)} rows)")
+
+for name in sorted(json.load(open(f"{outdir}/oracle_sql.json")).keys() ^ set()):
+    pass
+
+# report queries without oracle (rows-only)
+import os
+for name in sorted(os.listdir(outdir)):
+    if os.path.isdir(f"{outdir}/{name}") and name not in oracle:
+        n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+        print(f"ROWS {name} ({n} rows, no oracle)")
+
+if fails:
+    print("\nFAILURES:")
+    for n, m in fails:
+        print(f"FAIL {n}: {m}")
+    sys.exit(1)
+print("\nall oracle queries match")
