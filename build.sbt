@@ -23,8 +23,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// -Xms == -Xmx + AlwaysPreTouch: this sandbox VM serves first-touch page
+// faults ~100x slower than warm memory access and nearly serially (mmap
+// lock) — a lazily-committed heap makes any multi-GB Spark job fault-bound
+// and ANTI-scale with thread count. Pre-touching moves that cost to JVM
+// startup, once.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -1,24 +1,152 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.SyntheticTokens
+import graft.run.Validator
+
+/** Benchmark main (driver contract: ONE JSON line on stdout).
+  *
+  * Two parts:
+  *  1. per-operator wall clock: every SparkEntry.queries entry, counted on
+  *     SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS cores;
+  *  2. headline + scaling evidence (BASELINE.md protocol): the FULL
+  *     constraint suite (row pass + salted uniqueness + broadcast
+  *     referential, unioned violations counted) over a deterministic
+  *     synthetic token table of SPARK_GRAFT_BENCH_ROWS rows (default 10^7,
+  *     ~1.3e9 token elements), run at local[8] and local[32] on IDENTICAL
+  *     input splits (64 input partitions, shuffle partitions = cores).
+  *     No real cluster exists in the sandbox, so N→4N executors is
+  *     evidenced as 8→32 cores; efficiency = (thr32/thr8)/4, target ≥0.8
+  *     (BASELINE.json:2).
+  *
+  * Also appends the measured numbers to BENCH/BASELINE.md when the repo is
+  * writable (human-readable record of the scaling protocol).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private val InputPartitions = 64
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Full constraint suite over a STORED token table: one action. Reading
+    * parquet (not re-synthesizing in-memory arrays) matches the production
+    * shape — the Iceberg scan of BASELINE.json:14 — and keeps the workload
+    * compute-per-byte heavy (columnar decode) instead of DRAM-bound, which
+    * is what an executor on a real cluster sees.
+    */
+  private def fullSuite(spark: SparkSession, path: String): Long = {
+    val df = spark.read.parquet(path)
+    val dim = spark.range(0L, 20L, 1L, 1)
+      .select(concat(lit("src"), col("id").cast("string")).as("source"))
+    Validator.violations(df, TokenSchema.sequences, "doc_id", Map("sources" -> dim)).count()
+  }
+
+  /** Materialize the synthetic table once (not timed). */
+  private def writeInput(spark: SparkSession, rows: Long, path: String): Unit =
+    SyntheticTokens.synthetic(spark, rows, InputPartitions)
+      .drop("orig")
+      .write.mode("overwrite").parquet(path)
+
+  private def timed[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val headlineRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
+    val skipScaling = sys.env.get("SPARK_GRAFT_BENCH_SCALING").contains("0")
+    val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").contains("0")
+
+    // part 1: per-operator suite on sfDir
+    val results: Seq[(String, Double)] = if (skipQueries) Nil else {
+      val s1 = session(cpus)
+      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t = timed {
+          try fn(s1, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        }
+        name -> t
+      }
+      s1.stop()
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // part 2: headline + scaling pair on identical input
+    var thr8 = 0.0; var thr32 = 0.0; var eff = 0.0
+    var t8 = 0.0; var t32 = 0.0
+    if (!skipScaling) {
+      val inputPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_INPUT",
+        "/tmp/graft_bench_tokens.parquet")
+      // Both levels share one JVM, so JIT warmth accumulates; to keep the
+      // comparison fair each level gets a warmup + three timed runs (min
+      // taken), and the FIRST level additionally pre-runs the full-size
+      // job once so one-time C2/janino compilation is excluded everywhere.
+      // The first read also pulls the input into the OS page cache, so the
+      // timed runs measure decode+validate, not cold disk.
+      def level(cores: Int, preRun: Boolean): Double = {
+        val s = session(cores)
+        if (preRun) {
+          writeInput(s, headlineRows, inputPath)
+          fullSuite(s, inputPath)
+        }
+        fullSuite(s, inputPath)
+        val t = Seq.fill(3)(timed(fullSuite(s, inputPath))).min
+        s.stop()
+        t
+      }
+      t8 = level(8, preRun = true)
+      t32 = level(32, preRun = false)
+      thr8 = headlineRows / t8
+      thr32 = headlineRows / t32
+      eff = (thr32 / thr8) / 4.0
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+    val scaling =
+      f"""{"rows":$headlineRows,"cores8_sec":$t8%.2f,"cores32_sec":$t32%.2f,""" +
+      f""""rows_per_sec_8":${thr8.toLong},"rows_per_sec_32":${thr32.toLong},"efficiency":$eff%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+
+    // human-readable record
+    try {
+      val dir = java.nio.file.Paths.get("BENCH")
+      java.nio.file.Files.createDirectories(dir)
+      val md =
+        f"""# BENCH — measured
+           |
+           |Protocol: BASELINE.md. Full constraint suite (row pass + salted
+           |uniqueness + broadcast referential) over $headlineRows%,d synthetic
+           |sequences (~${headlineRows * 128 / 1000000}%,d M tokens), $InputPartitions input
+           |partitions, shuffle partitions = cores.
+           |
+           || cores | wall (s) | throughput (seq/s) |
+           ||---|---|---|
+           || 8  | $t8%.2f | ${thr8.toLong}%,d |
+           || 32 | $t32%.2f | ${thr32.toLong}%,d |
+           |
+           |Scaling efficiency (8 -> 32 cores = N -> 4N): **$eff%.3f** (target >= 0.8).
+           |
+           |Per-operator wall clock (s) on $sfDir at $cpus cores:
+           |
+           |${results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("| query | sec |\n|---|---|\n", "\n", "")}
+           |""".stripMargin
+      java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md)
+    } catch { case _: Throwable => () }
   }
 }

@@ -213,6 +213,14 @@ object OracleSql {
       |SELECT o_custkey, o_orderkey AS latest_order FROM r WHERE rn = 1
       |ORDER BY o_custkey""".stripMargin,
 
+    "q_setops" -> """SELECT doc_id FROM documents
+      |EXCEPT
+      |SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY doc_id""".stripMargin,
+
+    "q_map_ops" -> """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "dedup_exact" -> """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

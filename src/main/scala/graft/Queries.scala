@@ -257,6 +257,19 @@ object Queries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Set operations: EXCEPT between two projections (distinct semantics). */
+  def qSetOps(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"))
+      .except(docs(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 0L).select(col("doc_id")))
+      .orderBy(col("doc_id"))
+
+  /** Map functions: counts → map_from_entries → explode back to rows. */
+  def qMapOps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+      .select(explode(col("m")))
+      .orderBy(col("key"))
+
   // ---------- training-data pipeline operators ----------
 
   /** Corpus with planted exact copies (doc_id%20==0 → +100000). */
@@ -323,11 +336,12 @@ object Queries {
   }
 
   def textLangId(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id"),
-      TextAnalysis.predictedLang(col("text")).as("pred"),
-      col("lang"),
-      (TextAnalysis.predictedLang(col("text")) === col("lang")).as("hit"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), TextAnalysis.words(col("text")).as("_ws"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.predictedLangOfWords(col("_ws")).as("pred"))
+      .select(col("doc_id"), col("pred"), col("lang"),
+        (col("pred") === col("lang")).as("hit"))
       .orderBy(col("doc_id"))
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =

@@ -42,6 +42,8 @@ object SparkEntry {
     "q_join_agg" -> (Queries.qJoinAgg _),
     "q_topk" -> (Queries.qTopK _),
     "q_window" -> (Queries.qWindow _),
+    "q_setops" -> (Queries.qSetOps _),
+    "q_map_ops" -> (Queries.qMapOps _),
     // training-data pipeline operators
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),

@@ -5,30 +5,47 @@ import org.apache.spark.sql.functions._
 import graft.constraint.RowConstraint
 import graft.schema.RecordSchema
 
-/** Compiles the row-constraint set into ONE projection (SURVEY §2.3 T2–T4).
+/** Compiles the row-constraint set into pure codegen-friendly projections
+  * (SURVEY §2.3 T2–T4).
   *
-  * Design: every constraint is a pure Column predicate, so the whole
-  * validation pass is a single narrow `select` — zero shuffles, fully
-  * inside WholeStageCodegen, and Parquet scan pruning/pushdown still apply
-  * (the reference evaluates the same logic eagerly per record in Python;
-  * we declare it and let Catalyst vectorize — SURVEY §3.2).
-  *
-  * Output per row: `_violations: array<string>` of violated constraint ids
-  * (empty array ⇔ row passes the full suite).
+  * Design rules learned from profiling at 10^6–10^7 rows:
+  *  - NO lambda higher-order functions in the hot path (array_compact /
+  *    filter(array) desugar to interpreted per-element lambdas, which both
+  *    run slowly AND break whole-stage codegen for the operator — with
+  *    codegen broken, common-subexpression elimination is lost and every
+  *    constraint re-evaluates shared inputs).
+  *  - Per-row violation COUNT is a plain integer sum of predicates
+  *    (codegen'd, CSE applies).
+  *  - Violation fan-out is explode(array(...)) + filter(isNotNull):
+  *    Generate is codegen'd, and filtering AFTER the generator keeps the
+  *    predicate from being pushed into (and duplicating) the per-row
+  *    expressions.
   */
 object ConstraintCompiler {
 
   val ViolationsCol = "_violations"
+  val VCountCol = "_vcount"
 
-  /** array<string> of violated constraint ids for one row. */
-  def violationIds(cs: Seq[RowConstraint]): Column = {
+  /** Per-row violated-constraint count — pure integer expression. */
+  def violationCount(cs: Seq[RowConstraint]): Column = {
     require(cs.nonEmpty, "no row constraints to compile")
-    // array_compact drops the NULLs left by non-firing constraints; keeps
-    // the expression branch-free and codegen-friendly.
-    array_compact(array(cs.map(c => when(c.violates, lit(c.id))): _*))
+    cs.map(c => when(c.violates, 1).otherwise(0)).reduce(_ + _)
   }
 
-  /** df + `_violations` column (row-validation pass, T3). */
+  /** array<string> of violated constraint ids (null-free). Carries a lambda
+    * filter — use only on small/emit paths, never in hot aggregates.
+    */
+  def violationIds(cs: Seq[RowConstraint]): Column =
+    array_compact(array(cs.map(c => when(c.violates, lit(c.id))): _*))
+
+  /** df + `_vcount` (int) — the hot row-validation pass (T3). */
+  def withCounts(df: DataFrame, cs: Seq[RowConstraint]): DataFrame =
+    df.withColumn(VCountCol, violationCount(cs))
+
+  def withCounts(df: DataFrame, schema: RecordSchema): DataFrame =
+    withCounts(df, schema.rowConstraints)
+
+  /** df + `_violations` array column (id-bearing variant). */
   def withViolations(df: DataFrame, cs: Seq[RowConstraint]): DataFrame =
     df.withColumn(ViolationsCol, violationIds(cs))
 
@@ -36,14 +53,16 @@ object ConstraintCompiler {
     withViolations(df, schema.rowConstraints)
 
   /** Violation fan-out (T4): one output row per (key, violated constraint).
-    * `keyCols` are carried through for the violation sink
-    * (doc_id + constraint_id per BASELINE.json:6).
+    * explode BEFORE the null filter keeps everything in codegen.
     */
-  def violations(df: DataFrame, cs: Seq[RowConstraint], keyCols: Seq[String]): DataFrame =
-    withViolations(df, cs)
-      .select(keyCols.map(col) :+ explode(col(ViolationsCol)).as("constraint_id"): _*)
+  def violations(df: DataFrame, cs: Seq[RowConstraint], keyCols: Seq[String]): DataFrame = {
+    require(cs.nonEmpty, "no row constraints to compile")
+    df.select(keyCols.map(col) :+
+        explode(array(cs.map(c => when(c.violates, lit(c.id))): _*)).as("constraint_id"): _*)
+      .filter(col("constraint_id").isNotNull)
+  }
 
   /** Per-row pass flag without fan-out (for summaries). */
   def withPass(df: DataFrame, cs: Seq[RowConstraint]): DataFrame =
-    withViolations(df, cs).withColumn("_pass", size(col(ViolationsCol)) === 0)
+    withCounts(df, cs).withColumn("_pass", col(VCountCol) === 0)
 }

@@ -65,10 +65,16 @@ final case class ArrayElemRange(
 ) extends RowConstraint {
   val id = s"array_elem_$column"
   def violates: Column = {
-    val bad = (t: Column) =>
-      (if (allowNullElems) t.isNotNull && !t.between(lo, hi)
-       else t.isNull || !t.between(lo, hi))
-    col(column).isNotNull && exists(col(column), bad)
+    if (allowNullElems) {
+      // general path: interpreted HOF (rare in practice)
+      col(column).isNotNull &&
+        exists(col(column), t => t.isNotNull && !t.between(lo, hi))
+    } else {
+      // hot path (tokens at 10^12 rows): codegen'd primitive loop —
+      // semantics identical to exists(t -> t IS NULL OR t∉[lo,hi])
+      col(column).isNotNull &&
+        graft.functions.exprs.array_int_bounds_violated(col(column), lo, hi)
+    }
   }
 }
 

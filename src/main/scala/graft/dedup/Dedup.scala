@@ -31,12 +31,19 @@ object Dedup {
 
   // ---------- shingles + Jaccard ----------
 
-  /** Distinct word 3-gram shingles. */
-  def shingles(text: Column): Column = {
-    val ws = TextAnalysis.words(text)
+  /** Distinct word 3-gram shingles from a MATERIALIZED words column.
+    * (Passing split(text) directly would inline the split expression into
+    * all three element_at references — 3 splits per shingle index.)
+    */
+  def shinglesOfWords(ws: Column): Column =
     array_distinct(transform(sequence(lit(0), size(ws) - 3),
       j => concat_ws(" ", element_at(ws, j + 1), element_at(ws, j + 2), element_at(ws, j + 3))))
-  }
+
+  /** doc frame → (idCol as doc_id, sh) with words materialized first. */
+  private def withShingles(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("_text"),
+        TextAnalysis.words(col(textCol)).as("_ws"))
+      .select(col("doc_id"), col("_text"), shinglesOfWords(col("_ws")).as("sh"))
 
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
@@ -47,10 +54,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double, blockPrefixChars: Int = 24): DataFrame = {
-    val t = df.select(
-      col(idCol).as("doc_id"),
-      md5(substring(col(textCol), 1, blockPrefixChars)).as("blk"),
-      shingles(col(textCol)).as("sh"))
+    val t = withShingles(df, textCol, idCol)
+      .select(col("doc_id"), md5(substring(col("_text"), 1, blockPrefixChars)).as("blk"),
+        col("sh"))
     val a = t.select(col("doc_id").as("doc_a"), col("blk"), col("sh").as("sha"))
     val b = t.select(col("doc_id").as("doc_b"), col("blk"), col("sh").as("shb"))
     a.join(b, Seq("blk"))
@@ -62,14 +68,13 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** MinHash signature: numPerm permuted min-hashes over the shingle set.
-    * h_j(s) = ((xxhash64(s) mod P) * (2j+1) + j*97911) mod P — all
-    * intermediates < 1e15, overflow-free.
+  /** MinHash signature: numPerm permuted min-hashes over the shingle set —
+    * custom expression (one XXH64 per shingle, tight loop; see
+    * graft.functions.MinHashSignature). h_j(s) = ((xxh64(s) mod P) * (2j+1)
+    * + j*97911) mod P, intermediates < 1e15.
     */
   def minhashSignature(sh: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)), j =>
-      array_min(transform(sh, s =>
-        (pmod(xxhash64(s), lit(P)) * (j * 2 + 1) + j * 97911L) % P)))
+    graft.functions.hashExprs.minhash_signature(sh, numPerm)
 
   /** LSH banding: (band index, band-bucket hash) per signature band. */
   def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -80,21 +85,29 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline:
     * shingle → sign → band → bucket self-join → Jaccard verify.
     * Returns (doc_a, doc_b, jac) pairs with jac >= threshold.
+    *
+    * Shuffle discipline for 10^12 docs: the bucket self-join carries ONLY
+    * (band, bucket, doc_id) — shuffle volume O(docs × bands), not
+    * O(docs × bands × |shingles|). The (big) shingle arrays re-join by id
+    * only for the candidate pairs that survive banding + dedup.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, numPerm: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val t = df.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numPerm))
-    val bucketed = t.select(col("doc_id"), col("sh"),
-        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bucket"))
-    val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sh").as("sha"))
-    val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sh").as("shb"))
-    a.join(b, Seq("band", "bucket"))
+    val t = withShingles(df, textCol, idCol).select(col("doc_id"), col("sh"))
+    val bucketed = t
+      .select(col("doc_id"), explode(
+        bandBuckets(minhashSignature(col("sh"), numPerm), bands, rowsPerBand)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sha"), col("shb"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in several bands
+    pairs
+      .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
       .withColumn("jac", round(jaccard(col("sha"), col("shb")), 6))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
@@ -103,26 +116,12 @@ object Dedup {
   // ---------- SimHash ----------
 
   /** 63-bit SimHash over word hashes (bit 63 unused: 2^63 overflows signed
-    * long and ANSI mode rejects the wrap). Bit i's per-word ±1 vote comes
-    * from the parity of the seeded hash xxhash64(word, i) — avoids
-    * bit-extraction arithmetic on a single 64-bit hash, which cannot be
-    * done exactly with column math under ANSI (no variable-shift builtin).
+    * long and ANSI mode rejects the wrap). Custom expression: one XXH64
+    * per word, bit votes from the hash's own bits (tight loop; see
+    * graft.functions.SimHash63).
     */
-  def simhash(text: Column): Column = {
-    val ws = TextAnalysis.words(text)
-    // per-word ±1 contribution per bit, summed into a 63-int accumulator
-    val bitSums = aggregate(
-      ws,
-      array_repeat(lit(0), 63),
-      (acc, w) => zip_with(acc,
-        transform(sequence(lit(0), lit(62)),
-          i => when(pmod(xxhash64(w, i), lit(2L)) === 1L, 1).otherwise(-1)),
-        (a, b) => a + b))
-    // assemble sign bits into a long via precomputed powers of two
-    val powers = typedlit((0 until 63).map(i => 1L << i))
-    aggregate(zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash(text: Column): Column =
+    graft.functions.hashExprs.simhash63(TextAnalysis.words(text))
 
   /** 16-bit band values of a simhash for blocking (4 bands: bits 0-15,
     * 16-31, 32-47, 48-62). Band index is a plan-time literal, so the shift

@@ -2,6 +2,7 @@ package graft.gen
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.exprs.token_array_gen
 
 /** Deterministic tokenized-sequence synthesis (FIXTURES.md §1).
   *
@@ -51,6 +52,13 @@ object SyntheticTokens {
   private def tokenAt(orig: Column, i: Column): Column =
     pmod(orig * TokA + i * TokB + TokC, lit(Vocab)).cast("int")
 
+  /** Codegen'd token generator (graft.functions.TokenArrayGen) — identical
+    * element values to transform(sequence(0, n-1), i => tokenAt(orig, i)),
+    * ~100x faster (tight primitive loop inside whole-stage codegen).
+    */
+  private def tokensOf(orig: Column, nTok: Column): Column =
+    token_array_gen(orig, nTok, TokA, TokB, TokC, Vocab)
+
   /** Clean sequences from a documents frame (doc_id:int64, source:string).
     * Keeps `orig` (the integer id) for test bookkeeping; engine passes
     * ignore it.
@@ -61,8 +69,7 @@ object SyntheticTokens {
       .select(col("doc_id").as("orig"), col("source"))
       .select(
         docIdStr(orig).as("doc_id"),
-        transform(sequence(lit(0L), nTok0(orig).cast("long") - 1L), i => tokenAt(orig, i))
-          .as("tokens"),
+        tokensOf(orig, nTok0(orig)).as("tokens"),
         nTok0(orig).as("n_tok"),
         col("source"),
         orig)
@@ -80,8 +87,10 @@ object SyntheticTokens {
           .when(cls === 2, docIdStr(lit(DupBase)))
           .when(cls === 7, docIdStr(lit(HotBase)))
           .otherwise(docIdStr(orig)).as("doc_id"),
-        transform(sequence(lit(0L), nTok0(orig).cast("long") - 1L),
-          i => when(cls === 6 && i === 0L, lit(-1).cast("int")).otherwise(tokenAt(orig, i)))
+        when(cls === 6,
+          concat(array(lit(-1).cast("int")),
+            slice(tokensOf(orig, nTok0(orig)), lit(2), nTok0(orig) - 1)))
+          .otherwise(tokensOf(orig, nTok0(orig)))
           .as("tokens"),
         when(cls === 4, lit(9999).cast("int"))
           .when(cls === 5, lit(0).cast("int"))
@@ -120,7 +129,7 @@ object SyntheticTokens {
     spark.range(0L, rows, 1L, numPartitions)
       .select(
         docIdStr(orig).as("doc_id"),
-        transform(sequence(lit(0L), nTok.cast("long") - 1L), i => tokenAt(orig, i)).as("tokens"),
+        tokensOf(orig, nTok).as("tokens"),
         nTok.as("n_tok"),
         concat(lit("src"), pmod(orig, lit(20L)).cast("string")).as("source"),
         orig)

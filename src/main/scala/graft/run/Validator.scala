@@ -51,13 +51,12 @@ object Validator {
     * Row-level only — table-level checks report through `violations`.
     */
   def summary(df: DataFrame, schema: RecordSchema, partitionCol: String): DataFrame =
-    ConstraintCompiler.withViolations(df, schema.rowConstraints)
+    ConstraintCompiler.withCounts(df, schema.rowConstraints)
       .rollup(col(partitionCol))
       .agg(
         count(lit(1)).as("rows"),
-        sum(when(size(col(ConstraintCompiler.ViolationsCol)) > 0, 1L).otherwise(0L))
-          .as("bad_rows"),
-        sum(size(col(ConstraintCompiler.ViolationsCol)).cast("long")).as("violation_count"))
+        sum(when(col(ConstraintCompiler.VCountCol) > 0, 1L).otherwise(0L)).as("bad_rows"),
+        sum(col(ConstraintCompiler.VCountCol).cast("long")).as("violation_count"))
       .withColumn("pass", col("violation_count") === 0L)
 
   def run(df: DataFrame, schema: RecordSchema, keyCol: String, partitionCol: String,

@@ -27,12 +27,12 @@ object StreamingValidator {
   def windowedViolationCounts(stream: DataFrame, schema: RecordSchema,
                               tsCol: String, watermark: String,
                               windowLen: String): DataFrame =
-    ConstraintCompiler.withViolations(stream, schema.rowConstraints)
+    ConstraintCompiler.withCounts(stream, schema.rowConstraints)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen))
       .agg(
         count(lit(1)).as("rows"),
-        sum(size(col(ConstraintCompiler.ViolationsCol)).cast("long")).as("violation_count"))
+        sum(col(ConstraintCompiler.VCountCol).cast("long")).as("violation_count"))
 
   /** Duplicate keys within a watermarked window (streaming uniqueness). */
   def windowedDuplicates(stream: DataFrame, keyCol: String, tsCol: String,

@@ -52,14 +52,22 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que"),
     "fr" -> Seq("le", "les", "est"))
 
-  def markerCount(text: Column, markers: Seq[String]): Column =
-    size(filter(words(text), w => w.isin(markers: _*))).cast("long")
+  def markerCountOfWords(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isin(markers: _*))).cast("long")
 
-  def predictedLang(text: Column): Column = {
-    val counts = LangMarkers.map { case (l, ms) => l -> markerCount(text, ms) }
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    markerCountOfWords(words(text), markers)
+
+  /** Callers should pass a MATERIALIZED words column (one split per row);
+    * passing words(text) directly inlines the split into every marker set.
+    */
+  def predictedLangOfWords(ws: Column): Column = {
+    val counts = LangMarkers.map { case (l, ms) => l -> markerCountOfWords(ws, ms) }
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     counts.foldRight(lit("und")) { case ((l, c), els) =>
       when(c > 0 && c === best, lit(l)).otherwise(els)
     }
   }
+
+  def predictedLang(text: Column): Column = predictedLangOfWords(words(text))
 }

@@ -1,0 +1,79 @@
+package graft.tools
+
+import scala.collection.mutable
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.gen.SyntheticTokens
+import graft.run.Validator
+import graft.TokenSchema
+
+/** Stage-level attribution of the headline suite: per-stage wall, total
+  * executor task time, and shuffle bytes — pinpoints serial bottlenecks.
+  */
+object StageProfile {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val cores = args.lift(1).map(_.toInt).getOrElse(32)
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stages = mutable.Map[Int, (String, Long, Long, Long, Long)]() // name, wall, taskTime, tasks, shuffleW
+    spark.sparkContext.addSparkListener(new SparkListener {
+      private val t0 = mutable.Map[Int, Long]()
+      private val taskTime = mutable.Map[Int, Long]()
+      private val shuffleW = mutable.Map[Int, Long]()
+      private val nTasks = mutable.Map[Int, Long]()
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        t0(s.stageInfo.stageId) = System.nanoTime()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        taskTime(t.stageId) = taskTime.getOrElse(t.stageId, 0L) + t.taskMetrics.executorRunTime
+        shuffleW(t.stageId) = shuffleW.getOrElse(t.stageId, 0L) +
+          t.taskMetrics.shuffleWriteMetrics.bytesWritten
+        nTasks(t.stageId) = nTasks.getOrElse(t.stageId, 0L) + 1
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val id = s.stageInfo.stageId
+        val wall = (System.nanoTime() - t0.getOrElse(id, System.nanoTime())) / 1000000L
+        stages(id) = (s.stageInfo.name.take(60), wall, taskTime.getOrElse(id, 0L),
+          nTasks.getOrElse(id, 0L), shuffleW.getOrElse(id, 0L))
+      }
+    })
+
+    val parquetPath = sys.env.get("SP_PARQUET")
+    def input = parquetPath.map(spark.read.parquet(_))
+      .getOrElse(SyntheticTokens.synthetic(spark, rows, 64))
+    val mode = args.lift(3).getOrElse("suite")
+    def suite(): Long = mode match {
+      case "scan" => input.select(sum(element_at(col("tokens"), 1))).head().getLong(0)
+      case "rowpass" =>
+        graft.compile.ConstraintCompiler.withPass(input, TokenSchema.sequences.rowConstraints)
+          .filter(!col("_pass")).count()
+      case "unique" => graft.unique.SaltedUniqueness.duplicates(input, "doc_id").count()
+      case "ref" =>
+        val dim = spark.range(0L, 20L, 1L, 1)
+          .select(concat(lit("src"), col("id").cast("string")).as("source"))
+        graft.ref.ReferentialCheck.orphans(input, "source", dim, "source").count()
+      case _ =>
+        val dim = spark.range(0L, 20L, 1L, 1)
+          .select(concat(lit("src"), col("id").cast("string")).as("source"))
+        Validator.violations(input, TokenSchema.sequences, "doc_id", Map("sources" -> dim)).count()
+    }
+    (1 to reps).foreach { r =>
+      stages.clear()
+      val t0 = System.nanoTime()
+      suite()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[sp] === rep $r wall=$wall%.2f s (cores=$cores rows=$rows)")
+      stages.toSeq.sortBy(_._1).foreach { case (id, (name, w, tt, nt, sw)) =>
+        println(f"[sp] stage $id%3d wall=${w / 1000.0}%7.2f s taskTime=${tt / 1000.0}%8.2f s tasks=$nt%3d shufW=${sw / 1e6}%8.1f MB  $name")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{exprs, hashExprs}
+import graft.gen.SyntheticTokens
+
+/** Custom codegen expressions ≡ their higher-order-function formulations. */
+class ExpressionsSpec extends SparkTestBase {
+
+  import SyntheticTokens._
+
+  test("TokenArrayGen matches transform(sequence) formula element-for-element") {
+    val df = spark.range(0L, 2000L, 1L, 4)
+      .select(col("id"),
+        (lit(1L) + pmod(col("id") * NA + NB, lit(NTokMod))).cast("int").as("n"))
+      .select(col("id"), col("n"),
+        exprs.token_array_gen(col("id"), col("n"), TokA, TokB, TokC, Vocab).as("fast"),
+        transform(sequence(lit(0L), col("n").cast("long") - 1L),
+          i => pmod(col("id") * TokA + i * TokB + TokC, lit(Vocab)).cast("int")).as("slow"))
+    assert(df.filter(!(col("fast") <=> col("slow"))).count() === 0L)
+    // spot-check first element of doc 0: (0*A + 0*B + 7) % 32768 = 7
+    val first = df.filter(col("id") === 0L)
+      .select(element_at(col("fast"), 1)).head().getInt(0)
+    assert(first === 7)
+  }
+
+  test("ArrayIntBounds matches exists(t -> t IS NULL OR out-of-range)") {
+    val data = Seq(
+      (1L, Seq[Integer](1, 2, 3)),
+      (2L, Seq[Integer](0, 32767)),
+      (3L, Seq[Integer](-1, 5)),
+      (4L, Seq[Integer](32768)),
+      (5L, Seq[Integer](1, null, 2)),
+      (6L, Seq.empty[Integer]))
+    import scala.jdk.CollectionConverters._
+    val rows = data.map { case (id, a) =>
+      org.apache.spark.sql.Row(id, a.map(x => if (x == null) null else x.intValue()))
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("arr",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, true))))
+    val df = spark.createDataFrame(rows, schema)
+      .select(col("id"),
+        exprs.array_int_bounds_violated(col("arr"), 0, 32767).as("fast"),
+        exists(col("arr"), t => t.isNull || !t.between(0, 32767)).as("slow"))
+    assert(df.filter(!(col("fast") <=> col("slow"))).count() === 0L)
+    val bad = df.filter(col("fast")).select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(bad.toSeq === Seq(3L, 4L, 5L))
+  }
+
+  test("MinHashSignature: deterministic, set-identical inputs agree, similar sets mostly agree") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("c d e", "a b c", "b c d")), // same set, different order
+      (3L, Seq("a b c", "b c d", "x y z"))
+    ).toDF("id", "sh")
+      .select(col("id"), hashExprs.minhash_signature(col("sh"), 32).as("sig"))
+    val rows = df.orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(rows(0) === rows(1)) // order-insensitive
+    val agree = rows(0).zip(rows(2)).count { case (a, b) => a == b }
+    // 2 of 4 distinct shingles shared → expected agreement ≈ J*32 = 16,
+    // binomial spread — just assert "some but not all"
+    assert(agree >= 4 && agree < 32)
+  }
+
+  test("SimHash63: deterministic, near-identical docs have small hamming distance") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"word$i")
+    val df = Seq(
+      (1L, words),
+      (2L, words.updated(5, "CHANGED")),
+      (3L, (1 to 60).map(i => s"other$i"))
+    ).toDF("id", "ws").select(col("id"), hashExprs.simhash63(col("ws")).as("h"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    assert(ham(m(1L), m(2L)) <= 10)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Knn
+import graft.multimodal.MediaPipeline
+
+/** Training-data pipeline operators: dedup recall, kNN correctness,
+  * multimodal plumbing.
+  */
+class OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("exact dedup finds planted copies and nothing from distinct texts") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+    val groups = Dedup.exact(corpus, "text", "doc_id")
+    assert(groups.count() >= 5)
+    assert(groups.filter(col("cnt") < 2).count() === 0)
+  }
+
+  test("minhash-LSH finds planted near-dups (suffix-mutated copies)") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000L).as("doc_id"),
+          concat(col("text"), lit(" tiny suffix")).as("text")))
+    val pairs = Dedup.minhashLshPairs(corpus, "text", "doc_id", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // every planted pair must be found (high-jaccard near-dups)
+    val planted = (0L until 10L).map(i => (i, i + 1000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing: ${planted -- pairs}")
+  }
+
+  test("simhash pairs find planted near-dups with small hamming") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000L).as("doc_id"),
+          concat(col("text"), lit(" x")).as("text")))
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 10L).map(i => (i, i + 1000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing: ${planted -- pairs}")
+  }
+
+  test("brute-force kNN: rank-1 neighbor of a duplicated vector is its twin") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // plant an exact copy of vec 0 with id 9999
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") === 0).select(lit(9999L).as("vec_id"),
+        col("embedding"), col("label")))
+    val top = Knn.cosineTopK(corpus, corpus.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+    val rank1 = top.filter(col("rank") === 1).head().getLong(2)
+    assert(rank1 === 9999L)
+  }
+
+  test("LSH ANN results are a subset of brute-force ordering (same bucket ⊆ corpus)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val ann = Knn.lshTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    val all = emb.count().toInt
+    val brute = Knn.cosineTopK(emb, q, "vec_id", "embedding", all)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    assert(ann.nonEmpty)
+    assert(ann.subsetOf(brute)) // every ANN hit is a real corpus neighbor
+    // and ANN's rank-1 for each query is that query's best bucket-mate:
+    // it must appear in the brute-force order (sanity, non-vacuous)
+    val annTop = Knn.lshTopK(emb, q, "vec_id", "embedding", 1)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    assert(annTop.subsetOf(brute))
+  }
+
+  test("multimodal: mapPartitions stub decode agrees with the column twin") {
+    val viaBatch = MediaPipeline.decodeMeta(MediaPipeline.fromDocuments(docs))
+      .select(col("media_id").as("doc_id"), col("n_bytes"), col("width"),
+        col("height"))
+    val viaCols = MediaPipeline.metaColumns(docs)
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+    assert(viaBatch.exceptAll(viaCols).count() === 0L)
+    assert(viaCols.exceptAll(viaBatch).count() === 0L)
+  }
+}

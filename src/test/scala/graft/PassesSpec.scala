@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.unique.SaltedUniqueness
+import graft.ref.ReferentialCheck
+import graft.drift.DriftCheck
+import graft.ckpt.Checkpoint
+import graft.stats.HistogramSketch
+
+/** Table-level passes: uniqueness under skew, referential, drift,
+  * checkpoint resume, histogram sketch merge.
+  */
+class PassesSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("salted uniqueness == naive groupBy under adversarial skew (hot key 10^4)") {
+    val hot = spark.range(0L, 10000L, 1L, 8).select(lit("HOT").as("k"))
+    val uniq = spark.range(0L, 5000L, 1L, 8).select(concat(lit("u"), col("id")).as("k"))
+    val dup = spark.range(0L, 50L, 1L, 4).select(concat(lit("d"), pmod(col("id"), lit(10L))).as("k"))
+    val df = hot.unionByName(uniq).unionByName(dup)
+    val salted = SaltedUniqueness.duplicates(df, "k").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val naive = SaltedUniqueness.naiveDuplicates(df, "k").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(salted.toSeq === naive.toSeq)
+    assert(salted.head === ("HOT", 10000L))
+    // null keys excluded
+    val withNulls = df.unionByName(Seq.fill(5)(null: String).toDF("k"))
+    assert(SaltedUniqueness.duplicates(withNulls, "k").filter(col("k").isNull).count() === 0L)
+  }
+
+  test("referential check: orphans + matched partition the non-null fact rows") {
+    val dim = Seq("a", "b").toDF("source")
+    val fact = Seq(("1", "a"), ("2", "b"), ("3", "zz"), ("4", null)).toDF("id", "source")
+    val orphans = ReferentialCheck.orphans(fact, "source", dim, "source")
+      .select("id").as[String].collect().toSet
+    val matched = ReferentialCheck.matched(fact, "source", dim, "source")
+      .select("id").as[String].collect().toSet
+    assert(orphans === Set("3"))
+    assert(matched === Set("1", "2"))
+  }
+
+  test("drift: identical epochs → ks=0, chi2=0; shifted epochs → ks>0") {
+    val same = spark.range(0L, 2000L, 1L, 4)
+      .select(pmod(col("id"), lit(2L)).as("epoch"), pmod(col("id"), lit(100L)).as("v"))
+    val r = DriftCheck.run(same, "v", "epoch", 10L).head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getDouble(1) === 0.0)
+    val shifted = spark.range(0L, 2000L, 1L, 4)
+      .select(pmod(col("id"), lit(2L)).as("epoch"),
+        (pmod(col("id"), lit(100L)) + pmod(col("id"), lit(2L)) * 50L).as("v"))
+    val r2 = DriftCheck.run(shifted, "v", "epoch", 10L).head()
+    assert(r2.getDouble(0) > 0.3)
+    assert(r2.getDouble(1) > 100.0)
+  }
+
+  test("drift statistics are partitioning-invariant") {
+    def df(p: Int) = spark.range(0L, 3000L, 1L, p)
+      .select(pmod(col("id"), lit(2L)).as("epoch"), pmod(col("id") * 7L, lit(997L)).as("v"))
+    val a = DriftCheck.run(df(2), "v", "epoch", 50L).head()
+    val b = DriftCheck.run(df(13), "v", "epoch", 50L).head()
+    assert(a === b)
+  }
+
+  test("checkpoint resume: latest status wins, only non-done partitions remain") {
+    val parts = Seq("p1", "p2", "p3", "p4").toDF("pk")
+    val ckpt = Seq(
+      ("r1", "p1", "done", 1L),
+      ("r1", "p2", "failed", 1L),
+      ("r2", "p2", "done", 2L), // latest wins → p2 done
+      ("r1", "p3", "done", 1L),
+      ("r2", "p3", "failed", 2L) // latest wins → p3 NOT done
+    ).toDF("run_id", "partition_key", "status", "seq")
+      .withColumn("metrics_json", lit(null).cast("string"))
+      .withColumn("lineage_json", lit(null).cast("string"))
+    val rem = Checkpoint.remaining(parts, "pk", ckpt).as[String].collect().toSet
+    assert(rem === Set("p3", "p4"))
+  }
+
+  test("histogram sketch UDAF: counts match groupBy histogram, merge is associative") {
+    val df = spark.range(0L, 10000L, 1L, 7).select(pmod(col("id") * 13L, lit(320L)).as("v"))
+    val hist = HistogramSketch.histogram(10, 32L)
+    val sketch = df.agg(hist(col("v"))).head().getSeq[Long](0)
+    val exact = df.groupBy(floor(col("v") / 32L).as("b")).count()
+      .orderBy("b").collect().map(_.getLong(1))
+    assert(sketch.toSeq === exact.toSeq)
+    // partition-count invariance = associativity of merge
+    val sketch2 = spark.range(0L, 10000L, 1L, 1)
+      .select(pmod(col("id") * 13L, lit(320L)).as("v"))
+      .agg(hist(col("v"))).head().getSeq[Long](0)
+    assert(sketch.toSeq === sketch2.toSeq)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.io.TableIO
+import graft.gen.SyntheticTokens
+import graft.compile.ConstraintCompiler
+
+/** Plan-shape evidence for the scale claims: partition pruning, filter
+  * pushdown, column pruning, broadcast join strategy, whole-stage codegen.
+  * These assert on the PHYSICAL PLAN, because "would still work at 100 TB"
+  * is a property of the plan, not of the 500-row output.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val io = TableIO(spark)
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    val s = new java.io.ByteArrayOutputStream()
+    Console.withOut(s) { df.explain("formatted") }
+    s.toString
+  }
+
+  test("partitionBy write + key filter → partition pruning at the scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val seqs = SyntheticTokens.cleanFrom(spark, dir).drop("orig")
+    io.write(seqs, path, partitionBy = Seq("source"))
+    val plan = planString(io.read(path).filter(col("source") === "src3"))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("src3"))
+    // pruned read touches exactly one of 20 partitions
+    val pruned = io.read(path).filter(col("source") === "src3")
+    assert(pruned.select(input_file_name()).distinct().count() <=
+      io.read(path).select(input_file_name()).distinct().count() / 10)
+  }
+
+  test("predicate + column pruning reach the parquet scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft_push").toString
+    io.write(SyntheticTokens.cleanFrom(spark, dir).drop("orig"), path)
+    val q = io.read(path).filter(col("n_tok") > 100).select(col("doc_id"))
+    val plan = planString(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(n_tok), GreaterThan(n_tok,100)]"), plan)
+    // ReadSchema must not include tokens (column pruning)
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("tokens"), readSchema)
+  }
+
+  test("referential check plans a broadcast join, never a shuffle of the fact side") {
+    val docs = SyntheticTokens.readDocuments(spark, dir)
+    val plan = planString(graft.ref.ReferentialCheck.orphans(
+      SyntheticTokens.clean(docs), "source", SyntheticTokens.sourcesDim(docs), "source"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("row-validation pass stays inside whole-stage codegen (no lambda fallback)") {
+    val seqs = SyntheticTokens.cleanFrom(spark, dir)
+    val counted = ConstraintCompiler.withCounts(seqs, TokenSchema.sequences.rowConstraints)
+      .filter(col(ConstraintCompiler.VCountCol) > 0)
+    val plan = planString(counted)
+    // the Filter and Project around _vcount must carry a codegen id
+    val offenders = plan.linesIterator.filter(l =>
+      (l.contains("Filter (") || l.contains("Project (")) && !l.contains("* ")).toSeq
+    assert(offenders.isEmpty, s"non-codegen operators: $offenders\n$plan")
+  }
+
+  test("salted uniqueness is two aggregates: partial spread + final merge") {
+    val seqs = SyntheticTokens.cleanFrom(spark, dir)
+    val plan = planString(graft.unique.SaltedUniqueness.duplicates(seqs, "doc_id"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan) // 2 logical aggs × partial/final
+  }
+}

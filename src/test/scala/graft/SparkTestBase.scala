@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one JVM-wide session; ScalaTest
+  * suites run sequentially in the forked test JVM).
+  */
+trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkTestBase.session
+  override def afterAll(): Unit = () // keep the session for other suites
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

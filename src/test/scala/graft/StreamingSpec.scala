@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.schema._
+import graft.streaming.StreamingValidator
+
+/** The same compiled constraints attached to a Structured Streaming plan:
+  * violations stream + watermarked windowed aggregates + windowed
+  * uniqueness, driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val schema = RecordSchema("Evt", Seq(
+    FieldSpec("k", TextT, required = true),
+    FieldSpec("v", IntT(4), min = Some(0L), max = Some(100L))),
+    autoRegister = false)
+
+  test("violation stream emits (key, constraint_id) per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+    val stream = mem.toDF().toDF("k", "v")
+    val q = StreamingValidator.violations(stream, schema, "k")
+      .writeStream.format("memory").queryName("viols").outputMode("append").start()
+    try {
+      mem.addData(("a", 5), ("b", 101), ("c", -1))
+      q.processAllAvailable()
+      val got = spark.table("viols").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === Set(("b", "range_v"), ("c", "range_v")))
+      mem.addData(("d", 200))
+      q.processAllAvailable()
+      assert(spark.table("viols").count() === 3L)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed violation counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Int)]
+    val stream = mem.toDF().toDF("ts", "k", "v")
+    val q = StreamingValidator.windowedViolationCounts(stream, schema, "ts", "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("winviols").outputMode("update").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 00:00:10")
+      val t1 = Timestamp.valueOf("2026-01-01 00:00:40")
+      mem.addData((t0, "a", 5), (t1, "b", 999), (t1, "c", 7))
+      q.processAllAvailable()
+      val rows = spark.table("winviols").collect()
+      assert(rows.map(_.getAs[Long]("rows")).sum === 3L)
+      assert(rows.map(_.getAs[Long]("violation_count")).sum === 1L)
+    } finally q.stop()
+  }
+
+  test("windowed uniqueness flags duplicate keys within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "doc_id")
+    val q = StreamingValidator.windowedDuplicates(stream, "doc_id", "ts", "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("windups").outputMode("update").start()
+    try {
+      val t = Timestamp.valueOf("2026-01-01 00:00:10")
+      mem.addData((t, "x"), (t, "x"), (t, "y"))
+      q.processAllAvailable()
+      val dups = spark.table("windups").collect().map(_.getAs[String]("doc_id")).toSet
+      assert(dups === Set("x"))
+    } finally q.stop()
+  }
+}
