@@ -88,6 +88,18 @@ final case class ArraySizeEquals(arrayCol: String, countCol: String) extends Row
       size(col(arrayCol)) =!= col(countCol)
 }
 
+/** Lenient-load type conformance (pyschema per-type load validation, R12):
+  * a string column must parse as `targetType` (e.g. "date", "timestamp",
+  * "int", "double") when present. try_cast keeps the predicate pure and
+  * non-throwing under ANSI mode — the reference raises ValueError per
+  * record; the engine records a violation instead (SURVEY §3.1 E2).
+  */
+final case class TypeConform(column: String, targetType: String) extends RowConstraint {
+  val id = s"type_conform_$column"
+  def violates: Column =
+    col(column).isNotNull && expr(s"try_cast($column AS $targetType)").isNull
+}
+
 /** Float sanity (pyschema Float + no-NaN option). */
 final case class NotNaN(column: String) extends RowConstraint {
   val id = s"not_nan_$column"

@@ -46,8 +46,10 @@ object StageProfile {
     })
 
     val parquetPath = sys.env.get("SP_PARQUET")
+    val nTokMod = sys.env.get("SP_NTOKMOD").map(_.toLong)
+      .getOrElse(SyntheticTokens.NTokMod)
     def input = parquetPath.map(spark.read.parquet(_))
-      .getOrElse(SyntheticTokens.synthetic(spark, rows, 64))
+      .getOrElse(SyntheticTokens.synthetic(spark, rows, 64, nTokMod))
     val mode = args.lift(3).getOrElse("suite")
     def suite(): Long = mode match {
       case "scan" => input.select(sum(element_at(col("tokens"), 1))).head().getLong(0)
