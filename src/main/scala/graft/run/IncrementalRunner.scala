@@ -1,0 +1,98 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ckpt.Checkpoint
+import graft.io.TableIO
+import graft.schema.RecordSchema
+
+/** Checkpointed, per-partition validation job (SURVEY §2.3 T12; north rule:
+  * "resumable from checkpoint with per-partition lineage + metrics").
+  *
+  * Contract:
+  *  - work is partitioned by a string partition key (e.g. `source`, a date);
+  *  - each run validates ONLY partitions not marked done by the latest
+  *    checkpoint row (latest-wins by monotonically increasing `seq`);
+  *  - violation + summary sinks are written with dynamic partition
+  *    overwrite — re-running a partition replaces exactly its own output
+  *    (idempotence under retries; Parquet stand-in for Iceberg
+  *    overwrite-by-filter);
+  *  - the checkpoint table is APPEND-ONLY: one row per processed partition
+  *    per run carrying metrics (rows/bad_rows/violation_count) and lineage
+  *    (run id; at 10^12 scale, the snapshot/file-list of the input slice).
+  *
+  * Scale shape: the remaining-partition filter is a broadcast anti-join on
+  * the partition key — the fact table is read once, pruned by
+  * `partitionKey IN remaining` (partition pruning when the input is
+  * partitioned by that key), and all passes run on the pruned slice.
+  */
+final case class RunResult(processedPartitions: Seq[String], violations: Long)
+
+final case class IncrementalRunner(
+    io: TableIO,
+    schema: RecordSchema,
+    keyCol: String,
+    partitionCol: String,
+    violationsPath: String,
+    summaryPath: String,
+    checkpointPath: String) {
+
+  private def spark: SparkSession = io.spark
+
+  private def readCheckpoint(): DataFrame = {
+    val p = new java.io.File(checkpointPath)
+    if (p.exists) io.read(checkpointPath) else Checkpoint.empty(spark)
+  }
+
+  /** Validate all not-yet-done partitions of `input`; returns what ran. */
+  def run(input: DataFrame, dims: Map[String, DataFrame], runId: String): RunResult = {
+    val ckpt = readCheckpoint()
+    val parts = input.select(col(partitionCol)).distinct()
+    val remaining = Checkpoint.remaining(parts, partitionCol, ckpt)
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (remaining.isEmpty) return RunResult(Nil, 0L)
+
+    val slice = input.filter(col(partitionCol).isin(remaining: _*))
+    // Row violations carry their partition directly (works for NULL keys);
+    // table-level violations have non-null keys by construction, so the
+    // partition re-attaches via a broadcast key→partition join.
+    val rowV = graft.compile.ConstraintCompiler
+      .violations(slice, schema.rowConstraints, Seq(partitionCol, keyCol))
+    val keyParts = broadcast(
+      slice.select(col(keyCol), col(partitionCol)).filter(col(keyCol).isNotNull).distinct())
+    val tableV = schema.tableConstraints.flatMap {
+      case u: graft.constraint.Unique =>
+        Some(graft.unique.SaltedUniqueness.violations(slice, u.column, u.id)
+          .withColumnRenamed(u.column, keyCol).join(keyParts, Seq(keyCol)))
+      case r: graft.constraint.RefIntegrity =>
+        val dim = dims.getOrElse(r.dimTable, sys.error(s"dim '${r.dimTable}' missing"))
+        Some(graft.ref.ReferentialCheck
+          .violations(slice, r.column, dim, r.dimColumn, Seq(partitionCol, keyCol), r.id))
+      case _ => None
+    }
+    val violations = tableV.foldLeft(rowV)((a, b) =>
+      a.unionByName(b.select(col(partitionCol), col(keyCol), col("constraint_id"))))
+    val summary = Validator.summary(slice, schema, partitionCol)
+      .filter(col(partitionCol).isNotNull) // rollup total is recomputed on read
+
+    io.overwritePartitions(
+      violations.select(col(partitionCol), col(keyCol), col("constraint_id")),
+      violationsPath, Seq(partitionCol))
+    io.overwritePartitions(summary, summaryPath, Seq(partitionCol))
+
+    val seq = Checkpoint.latest(ckpt).agg(coalesce(max(col("seq")), lit(0L)))
+      .head().getLong(0) + 1L
+    val ckptRows = summary.select(
+      lit(runId).as("run_id"),
+      col(partitionCol).cast("string").as("partition_key"),
+      lit("done").as("status"),
+      to_json(struct(col("rows"), col("bad_rows"), col("violation_count"))).as("metrics_json"),
+      to_json(struct(lit(runId).as("run"), lit(violationsPath).as("violations_sink"))).as("lineage_json"),
+      lit(seq).as("seq"))
+    io.write(ckptRows, checkpointPath, mode = "append")
+
+    val v = io.read(violationsPath)
+      .filter(col(partitionCol).isin(remaining: _*)).count()
+    RunResult(remaining, v)
+  }
+}
