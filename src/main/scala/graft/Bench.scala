@@ -25,7 +25,9 @@ import graft.run.Validator
   */
 object Bench {
 
-  private val InputPartitions = 64
+  // 128 = 16 waves at 8 cores, 4 at 32 — enough waves at both levels that
+  // one straggler task (bursty host) doesn't skew a whole run.
+  private val InputPartitions = 128
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

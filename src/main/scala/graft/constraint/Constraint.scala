@@ -115,6 +115,14 @@ final case class CustomRow(id: String, violatesWhen: Column) extends RowConstrai
   def violates: Column = coalesce(violatesWhen, lit(false))
 }
 
+/** Guards a nested (SubRecord) constraint so it only fires when the parent
+  * struct is present — keeps "one violation per cause" under null parents.
+  */
+final case class NestedGuard(parentPath: String, inner: RowConstraint) extends RowConstraint {
+  def id: String = inner.id
+  def violates: Column = col(parentPath).isNotNull && inner.violates
+}
+
 // ----- table-level constraints (cross-row passes) -----
 
 /** Key uniqueness — executed by graft.unique.SaltedUniqueness. */

@@ -29,32 +29,52 @@ final case class RecordSchema(
   def field(n: String): FieldSpec =
     fields.find(_.name == n).getOrElse(sys.error(s"no field $n in $name"))
 
-  /** Per-row constraints derived from field declarations. */
-  def fieldConstraints: Seq[RowConstraint] = fields.flatMap { f =>
-    val req = if (f.required) Seq(Required(f.name)) else Nil
-    val typed = f.ftype match {
-      case EnumT(vs)       => Seq(EnumIn(f.name, vs))
-      case it @ IntT(s) if s < 8 => Seq(IntWidth(f.name, it.lo, it.hi))
-      case lt: ListT =>
-        (lt.elemMin, lt.elemMax) match {
-          case (Some(lo), Some(hi)) =>
-            Seq(ArrayElemRange(f.name, lo, hi, lt.containsNull))
-          case _ => Nil
-        }
-      case _ => Nil
-    }
-    val regex = f.regex.map(RegexMatch(f.name, _)).toSeq
-    val range = (f.min, f.max) match {
-      case (Some(lo), Some(hi)) => Seq(RangeBound(f.name, lo, hi))
-      case _                    => Nil
-    }
-    req ++ typed ++ regex ++ range
-  }
+  /** Per-row constraints derived from field declarations. SubRecord fields
+    * recurse: nested constraints address the column with the dotted struct
+    * path (`parent.child`), so a nested violation carries the dotted id —
+    * the reference's nested-dict propagation (FIXTURES.md §3 "SubRecord").
+    */
+  def fieldConstraints: Seq[RowConstraint] =
+    RecordSchema.constraintsFor(fields, prefix = "")
 
   def rowConstraints: Seq[RowConstraint] =
     fieldConstraints ++ tableConstraints.collect { case rc: RowConstraint => rc }
 
   def constraints: Seq[Constraint] = fieldConstraints ++ tableConstraints
+}
+
+object RecordSchema {
+  /** Derive row constraints for a field list; `prefix` is the dotted struct
+    * path for nested records ("" at the top level).
+    */
+  private[schema] def constraintsFor(fields: Seq[FieldSpec], prefix: String): Seq[RowConstraint] =
+    fields.flatMap { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      val req = if (f.required) Seq(Required(path)) else Nil
+      val typed = f.ftype match {
+        case EnumT(vs)             => Seq(EnumIn(path, vs))
+        case it @ IntT(s) if s < 8 => Seq(IntWidth(path, it.lo, it.hi))
+        case lt: ListT =>
+          (lt.elemMin, lt.elemMax) match {
+            case (Some(lo), Some(hi)) =>
+              Seq(ArrayElemRange(path, lo, hi, lt.containsNull))
+            case _ => Nil
+          }
+        case SubRecordT(sub) =>
+          // nested checks apply only when the sub-record is present — a
+          // NULL sub-record is the PARENT's required-ness to flag, exactly
+          // once (reference: SubRecord.dump(None) on an optional field is
+          // accepted without descending)
+          constraintsFor(sub.fields, path).map(NestedGuard(path, _))
+        case _               => Nil
+      }
+      val regex = f.regex.map(RegexMatch(path, _)).toSeq
+      val range = (f.min, f.max) match {
+        case (Some(lo), Some(hi)) => Seq(RangeBound(path, lo, hi))
+        case _                    => Nil
+      }
+      req ++ typed ++ regex ++ range
+    }
 }
 
 /** Global name → schema registry (pyschema/core.py :: SchemaStore /
