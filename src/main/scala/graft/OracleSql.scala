@@ -185,20 +185,20 @@ object OracleSql {
       |ORDER BY source""".stripMargin,
 
     "q1_agg" -> """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sum_base,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DECIMAL(38,6)) AS sum_disc,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
       |  CAST(count(*) AS BIGINT) AS cnt
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_filter_pushdown" -> """SELECT CAST(count(*) AS BIGINT) AS cnt,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sum_qty
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
       |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 25.0""".stripMargin,
 
     "q_join_agg" -> """SELECT c_mktsegment,
       |  CAST(count(*) AS BIGINT) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS total
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 

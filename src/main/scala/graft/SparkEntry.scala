@@ -12,9 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship: full constraint suite (row + uniqueness + referential) over
-    * the planted-violation token table at sf0.001 → violation rows.
-    * Driver smoke-checks rows > 0 (the plant guarantees 80 violations).
+  /** Flagship: full constraint suite (row + uniqueness + referential +
+    * drift gate) over the planted-violation token table at sf0.001 →
+    * violation rows. Driver smoke-checks rows > 0 (the plant guarantees 72
+    * violations at sf0.001: uniqueness emits one row per duplicate KEY).
     */
   def entry(spark: SparkSession): DataFrame =
     Queries.flagshipViolations(spark, "/root/testdata/sf0.001")

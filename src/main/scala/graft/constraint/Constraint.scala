@@ -59,21 +59,32 @@ final case class IntWidth(column: String, lo: Long, hi: Long) extends RowConstra
 /** Every array element within [lo, hi] and (optionally) non-null
   * (pyschema List element validation — R12). The `tokens` vocabulary
   * bound of BASELINE.json:15.
+  *
+  * `int32Elem` opts into the codegen'd [[graft.functions.ArrayIntBounds]]
+  * fast path — ONLY valid for array<int> columns (the expression reads a
+  * 4-byte stride; other widths would read garbage — ADVICE r1). The schema
+  * compiler sets it from the declared element type; the expression itself
+  * also rejects non-int input at analysis time as a second line of defense.
   */
 final case class ArrayElemRange(
-    column: String, lo: Long, hi: Long, allowNullElems: Boolean = false
+    column: String, lo: Long, hi: Long, allowNullElems: Boolean = false,
+    int32Elem: Boolean = false
 ) extends RowConstraint {
   val id = s"array_elem_$column"
   def violates: Column = {
-    if (allowNullElems) {
-      // general path: interpreted HOF (rare in practice)
-      col(column).isNotNull &&
-        exists(col(column), t => t.isNotNull && !t.between(lo, hi))
-    } else {
+    if (!allowNullElems && int32Elem) {
       // hot path (tokens at 10^12 rows): codegen'd primitive loop —
       // semantics identical to exists(t -> t IS NULL OR t∉[lo,hi])
       col(column).isNotNull &&
         graft.functions.exprs.array_int_bounds_violated(col(column), lo, hi)
+    } else if (allowNullElems) {
+      // null elements permitted: only out-of-range non-null values violate
+      col(column).isNotNull &&
+        exists(col(column), t => t.isNotNull && !t.between(lo, hi))
+    } else {
+      // general width path: null elements or out-of-range values violate
+      col(column).isNotNull &&
+        exists(col(column), t => t.isNull || !t.between(lo, hi))
     }
   }
 }
@@ -138,10 +149,12 @@ final case class RefIntegrity(column: String, dimTable: String, dimColumn: Strin
   val id = s"ref_integrity_$column"
 }
 
-/** Distribution drift between epochs — executed by graft.drift.DriftCheck
-  * (two-sample KS + chi-square over per-epoch histograms).
+/** Distribution drift between epochs — executed by graft.drift.DriftGate
+  * (two-sample KS + chi-square over per-epoch histograms); a KS statistic
+  * above `ksThreshold` emits a table-level violation row.
   */
-final case class Drift(column: String, epochColumn: String, bucketWidth: Long)
+final case class Drift(column: String, epochColumn: String, bucketWidth: Long,
+                       ksThreshold: Double = 0.1)
     extends Constraint {
   val id = s"drift_$column"
 }

@@ -36,17 +36,30 @@ object Dedup {
     * all three element_at references — 3 splits per shingle index.)
     */
   def shinglesOfWords(ws: Column): Column =
-    array_distinct(transform(sequence(lit(0), size(ws) - 3),
-      j => concat_ws(" ", element_at(ws, j + 1), element_at(ws, j + 2), element_at(ws, j + 3))))
+    // <3 words ⇒ empty shingle set (matches the oracle's range(0, len-2));
+    // without the guard sequence(0, negative) descends and element_at
+    // throws INVALID_ARRAY_INDEX (ADVICE r1, high)
+    when(size(ws) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(0), size(ws) - 3),
+        j => concat_ws(" ", element_at(ws, j + 1), element_at(ws, j + 2), element_at(ws, j + 3)))))
 
-  /** doc frame → (idCol as doc_id, sh) with words materialized first. */
+  /** doc frame → (idCol as doc_id, sh) with words materialized first.
+    * Shingle-less docs (<3 words) are dropped: they can't be n-gram
+    * near-dups, and at web scale every such doc would hash into the SAME
+    * MinHash band buckets — one quadratic hot bucket for the whole corpus.
+    */
   private def withShingles(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), col(textCol).as("_text"),
         TextAnalysis.words(col(textCol)).as("_ws"))
       .select(col("doc_id"), col("_text"), shinglesOfWords(col("_ws")).as("sh"))
+      .filter(size(col("sh")) > 0)
 
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  def jaccard(a: Column, b: Column): Column = {
+    // two empty sets: J = 0 (not a near-dup pair), and 0/0 would throw
+    // under ANSI; candidate generation filters empty-shingle docs anyway
+    val u = size(array_union(a, b))
+    when(u === 0, lit(0.0)).otherwise(size(array_intersect(a, b)).cast("double") / u)
+  }
 
   /** n-gram Jaccard near-dup pairs, blocked on a text-prefix hash so the
     * self-join is key-equality (no cross product). Returns

@@ -92,6 +92,17 @@ final case class ArrayIntBounds(child: Expression, lo: Long, hi: Long)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "array_int_bounds_violated"
 
+  // getInt reads a 4-byte stride: anything but array<int> would silently
+  // read garbage — reject it at analysis time (ADVICE r1, medium)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<int>, got ${other.catalogString}")
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val len = arr.numElements()

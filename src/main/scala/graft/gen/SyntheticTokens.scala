@@ -72,7 +72,8 @@ object SyntheticTokens {
         tokensOf(orig, nTok0(orig)).as("tokens"),
         nTok0(orig).as("n_tok"),
         col("source"),
-        orig)
+        orig,
+        pmod(orig, lit(2L)).cast("int").as("epoch"))
   }
 
   /** Planted-violation variant (same shape + `orig`). */
@@ -96,7 +97,8 @@ object SyntheticTokens {
           .when(cls === 5, lit(0).cast("int"))
           .otherwise(nTok0(orig)).as("n_tok"),
         when(cls === 3, lit("__unknown__")).otherwise(col("source")).as("source"),
-        orig)
+        orig,
+        pmod(orig, lit(2L)).cast("int").as("epoch"))
   }
 
   /** Sources dimension (broadcast side of the referential check):
@@ -132,6 +134,7 @@ object SyntheticTokens {
         tokensOf(orig, nTok).as("tokens"),
         nTok.as("n_tok"),
         concat(lit("src"), pmod(orig, lit(20L)).cast("string")).as("source"),
-        orig)
+        orig,
+        pmod(orig, lit(2L)).cast("int").as("epoch"))
   }
 }

@@ -34,13 +34,28 @@ object ReportAssembler {
       .as[PartitionSummary]
   }
 
-  /** Top-k violation sampling (T11): deterministic exemplars per constraint,
-    * planned as TakeOrderedAndProject (no full sort at 10^12 rows).
+  /** Global top-k violation sampling (T11), planned as
+    * TakeOrderedAndProject (no full sort at 10^12 rows).
     */
   def topViolations(v: Dataset[Violation], k: Int): Dataset[Violation] = {
     val spark = v.sparkSession
     import spark.implicits._
     v.orderBy(col("constraint_id"), col("doc_id").asc_nulls_first).limit(k).as[Violation]
+  }
+
+  /** k deterministic exemplar rows PER constraint (T11). row_number +
+    * rank-filter plans as WindowGroupLimit in Spark 4: each map task keeps
+    * only its local top-k per constraint before the shuffle, so the full
+    * violation set is never sorted or collected per constraint partition.
+    */
+  def exemplarsPerConstraint(v: Dataset[Violation], k: Int): Dataset[Violation] = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("constraint_id")).orderBy(col("doc_id").asc_nulls_first)
+    v.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("doc_id"), col("constraint_id")).as[Violation]
   }
 
   /** Single verdict row: suite pass ⇔ zero violations anywhere. */

@@ -48,6 +48,12 @@ final case class IncrementalRunner(
   def run(input: DataFrame, dims: Map[String, DataFrame], runId: String): RunResult = {
     val ckpt = readCheckpoint()
     val parts = input.select(col(partitionCol)).distinct()
+    // NULL partition keys would be conflated with the rollup total, NPE in
+    // sorting, and escape isin() pruning (ADVICE r1) — reject them upfront;
+    // callers must bucket nulls into an explicit partition value first.
+    if (parts.filter(col(partitionCol).isNull).limit(1).count() > 0)
+      sys.error(s"IncrementalRunner: NULL values in partition column '$partitionCol'; " +
+        "bucket them into an explicit partition value before running")
     val remaining = Checkpoint.remaining(parts, partitionCol, ckpt)
       .collect().map(_.getString(0)).toSeq.sorted
     if (remaining.isEmpty) return RunResult(Nil, 0L)
@@ -62,13 +68,24 @@ final case class IncrementalRunner(
       slice.select(col(keyCol), col(partitionCol)).filter(col(keyCol).isNotNull).distinct())
     val tableV = schema.tableConstraints.flatMap {
       case u: graft.constraint.Unique =>
-        Some(graft.unique.SaltedUniqueness.violations(slice, u.column, u.id)
+        // Uniqueness is a GLOBAL constraint: count over the FULL input
+        // (column-pruned scan of just the key column — cheap even at
+        // 10^12 rows), then attribute via the slice's key→partition map so
+        // each run emits exactly its own partitions' rows. Restricting the
+        // count to the slice would miss duplicates spanning a done
+        // partition and a later-run partition (ADVICE r1, medium).
+        Some(graft.unique.SaltedUniqueness.violations(input, u.column, u.id)
           .withColumnRenamed(u.column, keyCol).join(keyParts, Seq(keyCol)))
       case r: graft.constraint.RefIntegrity =>
         val dim = dims.getOrElse(r.dimTable, sys.error(s"dim '${r.dimTable}' missing"))
         Some(graft.ref.ReferentialCheck
           .violations(slice, r.column, dim, r.dimColumn, Seq(partitionCol, keyCol), r.id))
-      case _ => None
+      case d: graft.constraint.Drift =>
+        Some(graft.drift.DriftGate.violations(slice, d, partitionCol, keyCol))
+      case _: graft.constraint.RowConstraint => None // runs in the row pass
+      case other =>
+        sys.error(s"IncrementalRunner: unhandled table constraint '${other.id}' — " +
+          "declared constraints must never be silently dropped")
     }
     val violations = tableV.foldLeft(rowV)((a, b) =>
       a.unionByName(b.select(col(partitionCol), col(keyCol), col("constraint_id"))))
@@ -91,8 +108,11 @@ final case class IncrementalRunner(
       lit(seq).as("seq"))
     io.write(ckptRows, checkpointPath, mode = "append")
 
-    val v = io.read(violationsPath)
-      .filter(col(partitionCol).isin(remaining: _*)).count()
+    // an all-clean run leaves a footer-less empty sink that parquet can't
+    // infer a schema from — that's 0 violations, not an error
+    val v = scala.util.Try(
+      io.read(violationsPath).filter(col(partitionCol).isin(remaining: _*)).count()
+    ).getOrElse(0L)
     RunResult(remaining, v)
   }
 }

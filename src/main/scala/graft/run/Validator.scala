@@ -22,7 +22,8 @@ import graft.unique.SaltedUniqueness
 final case class ValidationResult(
     violations: DataFrame,       // (keyCol, constraint_id)
     summary: DataFrame,          // per-partitionCol rollup
-    duplicates: DataFrame        // (keyCol, cnt)
+    duplicates: DataFrame,       // (keyCol, cnt)
+    drift: Option[DataFrame]     // (ks, chi2, n0, n1) when a Drift is declared
 )
 
 object Validator {
@@ -41,7 +42,12 @@ object Validator {
         val dim = dims.getOrElse(r.dimTable,
           sys.error(s"dimension '${r.dimTable}' not supplied"))
         Some(ReferentialCheck.violations(df, r.column, dim, r.dimColumn, Seq(keyCol), r.id))
-      case _ => None
+      case d: Drift =>
+        Some(graft.drift.DriftGate.violationsGlobal(df, d, keyCol))
+      case _: RowConstraint => None // already in schema.rowConstraints above
+      case other =>
+        sys.error(s"Validator: unhandled table constraint '${other.id}' — " +
+          "declared constraints must never be silently dropped")
     }
     table.foldLeft(row)(_ unionByName _)
   }
@@ -64,6 +70,10 @@ object Validator {
     val dups = schema.tableConstraints.collectFirst { case u: Unique =>
       SaltedUniqueness.duplicates(df, u.column)
     }.getOrElse(df.sparkSession.emptyDataFrame)
-    ValidationResult(violations(df, schema, keyCol, dims), summary(df, schema, partitionCol), dups)
+    val drift = schema.tableConstraints.collectFirst { case d: Drift =>
+      graft.drift.DriftGate.groupedStats(df, d, Nil)
+    }
+    ValidationResult(violations(df, schema, keyCol, dims),
+      summary(df, schema, partitionCol), dups, drift)
   }
 }

@@ -57,7 +57,10 @@ object RecordSchema {
         case lt: ListT =>
           (lt.elemMin, lt.elemMax) match {
             case (Some(lo), Some(hi)) =>
-              Seq(ArrayElemRange(path, lo, hi, lt.containsNull))
+              // fast codegen'd path only for array<int> (4-byte stride);
+              // wider/narrower elements take the general HOF path
+              Seq(ArrayElemRange(path, lo, hi, lt.containsNull,
+                int32Elem = lt.elem.dataType == IntegerType))
             case _ => Nil
           }
         case SubRecordT(sub) =>
