@@ -69,6 +69,55 @@ object OracleSql {
   private def listSumBigint(expr: String): String =
     s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($expr, t -> CAST(t AS BIGINT))), (a, x) -> a + x) AS BIGINT)"
 
+  /** ALL-PAIRS exact n-gram Jaccard ground truth over the near-dup corpus —
+    * the hard oracle for every LSH dedup operator: any candidate-generation
+    * recall loss shows up as a row/hash mismatch. Shingle-less docs
+    * (<3 words) are excluded on both sides.
+    */
+  private val NearDupPairs =
+    """nd_corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' graft extra suffix tokens' AS text
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |nd_sh AS (SELECT doc_id,
+      |        list_distinct(list_transform(
+      |          range(0, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+      |          j -> regexp_split_to_array(trim(text), '\s+')[j+1] || ' ' ||
+      |               regexp_split_to_array(trim(text), '\s+')[j+2] || ' ' ||
+      |               regexp_split_to_array(trim(text), '\s+')[j+3])) AS sh
+      |      FROM nd_corpus),
+      |nd_ne AS (SELECT doc_id, sh FROM nd_sh WHERE len(sh) > 0),
+      |nd_pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |             / nullif(len(list_distinct(a.sh || b.sh)), 0), 6) AS jac
+      |      FROM nd_ne a JOIN nd_ne b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |            / nullif(len(list_distinct(a.sh || b.sh)), 0) >= 0.3)""".stripMargin
+
+  /** Planted/organic recall counts from the all-pairs ground truth:
+    * planted_missed = 0 is the oracle's recall assertion for the LSH
+    * pipelines (their band parameters put per-pair miss probability ~1e-9
+    * at the corpus's ≥0.85 true-pair Jaccard).
+    */
+  private val DedupRecallReport = s"""WITH $NearDupPairs
+    |SELECT
+    |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 20 = 0) AS planted_total,
+    |  CAST(coalesce(sum(CASE WHEN doc_b = doc_a + 100000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS planted_found,
+    |  CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0)
+    |    - coalesce(sum(CASE WHEN doc_b = doc_a + 100000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS planted_missed,
+    |  CAST(coalesce(sum(CASE WHEN doc_b <> doc_a + 100000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS organic_found
+    |FROM nd_pairs""".stripMargin
+
+  /** Index-ordered left-fold dot product (bit-identical to the Spark
+    * aggregate/zip_with evaluation).
+    */
+  private def dot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, len($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "seq_synth" -> s"""WITH $Seqs
@@ -229,25 +278,94 @@ object OracleSql {
       |       CAST(min(doc_id) AS BIGINT) AS exemplar
       |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
 
-    "dedup_ngram_jaccard" -> """WITH corpus AS (
+    "dedup_ngram_jaccard" -> s"""WITH $NearDupPairs
+      |SELECT doc_a, doc_b, jac FROM nd_pairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_lsh" -> DedupRecallReport,
+
+    // Full SQL mirror of the simhash pipeline: polynomial word hash →
+    // 63 parity votes → 4×16-bit band collision → Hamming ≤ 6. All-pairs
+    // form (correctness scale); band collision is the candidate criterion,
+    // exactly as in Dedup.simhashPairs.
+    "dedup_simhash" -> """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text || ' graft extra suffix tokens' AS text
       |  FROM documents WHERE doc_id % 20 = 0),
-      |t AS (SELECT doc_id, md5(substr(text, 1, 24)) AS blk,
-      |        list_distinct(list_transform(
-      |          range(0, len(regexp_split_to_array(trim(text), '\s+')) - 2),
-      |          j -> regexp_split_to_array(trim(text), '\s+')[j+1] || ' ' ||
-      |               regexp_split_to_array(trim(text), '\s+')[j+2] || ' ' ||
-      |               regexp_split_to_array(trim(text), '\s+')[j+3])) AS sh
+      |wh AS (SELECT doc_id,
+      |        list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |          w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                 list_transform(range(1, length(w) + 1),
+      |                   k -> CAST(unicode(substr(w, k, 1)) AS BIGINT))),
+      |               (a, c) -> (a * 131 + c) % 1000000007)) AS hs
+      |      FROM corpus),
+      |sim AS (SELECT doc_id,
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(0, 63), bb ->
+      |            CASE WHEN list_reduce(list_prepend(0,
+      |                   list_transform(hs, h ->
+      |                     CASE WHEN ((h * (2*(62-bb)+3) + 7919*((62-bb)+1)) % 1000000007) % 2 = 1
+      |                          THEN 1 ELSE -1 END)),
+      |                   (a, x) -> a + x) > 0
+      |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |          (acc, bit) -> acc * 2 + bit) AS s
+      |       FROM wh),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming,
+      |        (((a.s >> 0)  & 65535) = ((b.s >> 0)  & 65535) OR
+      |         ((a.s >> 16) & 65535) = ((b.s >> 16) & 65535) OR
+      |         ((a.s >> 32) & 65535) = ((b.s >> 32) & 65535) OR
+      |         ((a.s >> 48) & 65535) = ((b.s >> 48) & 65535)) AS bandhit
+      |      FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM p
+      |WHERE bandhit AND hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_exemplars" -> """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+      |t AS (SELECT doc_id, md5(text) AS h,
+      |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY md5(text)) AS grp
       |      FROM corpus)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |             / len(list_distinct(a.sh || b.sh)), 6) AS jac
-      |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / len(list_distinct(a.sh || b.sh)) >= 0.3
-      |ORDER BY doc_a, doc_b""".stripMargin,
+      |SELECT h, doc_id, CAST(rn AS BIGINT) AS rn, rn = 1 AS keep
+      |FROM t WHERE grp > 1 ORDER BY h, rn""".stripMargin,
+
+    "doc_violations" -> """WITH dirty AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 1 THEN 'xx'
+      |         WHEN doc_id % 10 = 7 THEN NULL ELSE lang END AS lang0,
+      |    CASE WHEN doc_id % 10 = 2 THEN 40000
+      |         ELSE CAST(n_chars % 1000 AS INTEGER) END AS n_small,
+      |    CASE WHEN doc_id % 10 = 3 THEN 'not-a-date' ELSE '2026-01-15' END AS fetched_on,
+      |    doc_id % 100 AS attr_views,
+      |    CASE WHEN doc_id % 10 = 6 THEN -5 ELSE doc_id % 10 END AS attr_score,
+      |    CASE WHEN doc_id % 10 = 4 THEN NULL ELSE source END AS meta_origin,
+      |    CASE WHEN doc_id % 10 = 5 THEN 99 ELSE doc_id % 6 END AS meta_rating,
+      |    strlen(text) AS payload_len
+      |  FROM documents),
+      |d2 AS (SELECT *, coalesce(lang0, 'en') AS lang FROM dirty)
+      |SELECT doc_id, constraint_id FROM (
+      |  SELECT doc_id, 'enum_lang' AS constraint_id FROM d2
+      |    WHERE lang IS NOT NULL AND lang NOT IN ('de','en','es','fr','zh')
+      |  UNION ALL
+      |  SELECT doc_id, 'int_width_n_small' FROM d2
+      |    WHERE n_small IS NOT NULL AND (n_small < -32768 OR n_small > 32767)
+      |  UNION ALL
+      |  SELECT doc_id, 'type_conform_fetched_on' FROM d2
+      |    WHERE fetched_on IS NOT NULL AND try_cast(fetched_on AS DATE) IS NULL
+      |  UNION ALL
+      |  SELECT doc_id, 'map_range_attrs' FROM d2
+      |    WHERE attr_views < 0 OR attr_views > 1000000
+      |       OR attr_score < 0 OR attr_score > 1000000
+      |  UNION ALL
+      |  SELECT doc_id, 'bytes_len_payload' FROM d2 WHERE payload_len > 400
+      |  UNION ALL
+      |  SELECT doc_id, 'required_meta.origin' FROM d2 WHERE meta_origin IS NULL
+      |  UNION ALL
+      |  SELECT doc_id, 'range_meta.rating' FROM d2
+      |    WHERE meta_rating IS NOT NULL AND (meta_rating < 0 OR meta_rating > 5)
+      |) v ORDER BY constraint_id, doc_id""".stripMargin,
 
     "sim_topk" -> """WITH e AS (SELECT vec_id, embedding FROM embeddings),
       |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 10),
@@ -265,6 +383,39 @@ object OracleSql {
       |               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
       |             (a, x) -> a + x))) AS cos
       |      FROM e, q WHERE e.vec_id <> q.qid),
+      |r AS (SELECT qid, vec_id,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      |      FROM s)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+      |       CAST(vec_id AS BIGINT) AS neighbor
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Full SQL mirror of the ANN pipeline: hyperplane bucket (pure integer
+    // plane formula, index-ordered double fold — bit-identical to
+    // graft.functions.HyperplaneLsh), Hamming-1 multi-probe on the query
+    // side, exact cosine rescoring, per-query rank.
+    "sim_ann_lsh" -> s"""WITH e AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |b AS (SELECT vec_id, embedding,
+      |  list_reduce(list_prepend(0, list_transform(range(0, 16), p ->
+      |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(0, len(embedding)),
+      |             i -> CAST(embedding[i+1] AS DOUBLE) * ((p*12289 + i*331) % 997 - 498))),
+      |           (a, x) -> a + x) > 0 THEN 1 ELSE 0 END)),
+      |    (acc, bb) -> acc*2 + bb) AS bucket
+      |  FROM e),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b WHERE vec_id < 10),
+      |probes AS (SELECT qid, qe, xor(qb, m.msk) AS bucket
+      |           FROM q CROSS JOIN (SELECT unnest([0,1,2,4,8,16,32,64,128,256,512,
+      |             1024,2048,4096,8192,16384,32768]) AS msk) m),
+      |s AS (SELECT p.qid, c.vec_id,
+      |        ${dot("c.embedding", "p.qe")}
+      |        / (sqrt(${dot("c.embedding", "c.embedding")})
+      |           * sqrt(${dot("p.qe", "p.qe")})) AS cos
+      |      FROM b c JOIN probes p ON c.bucket = p.bucket
+      |      WHERE c.vec_id <> p.qid),
       |r AS (SELECT qid, vec_id,
       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
       |      FROM s)

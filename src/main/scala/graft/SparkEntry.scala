@@ -7,8 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every operator from SURVEY.md §2 has a `queries` entry; every
   * SQL-expressible one has a DuckDB twin in `oracleSql` (column names and
   * types aligned on both sides — the driver sorts columns by name and
-  * hashes values). Sketch/LSH operators (approximate by construction) are
-  * intentionally oracle-less → rows-only check.
+  * hashes values). The LSH family is hash-checked too: pair pipelines
+  * against ALL-PAIRS exact ground truth (band recall included), ANN against
+  * a full SQL mirror of the bucketing. Only col_stats_sketch (HLL/KLL
+  * sketches, approximate by construction) stays rows-only.
   */
 object SparkEntry {
 
@@ -25,6 +27,7 @@ object SparkEntry {
     // core validation engine (SURVEY §2.3 T1–T13)
     "seq_synth" -> (Queries.seqSynth _),
     "row_violations" -> (Queries.rowViolations _),
+    "doc_violations" -> (Queries.docViolations _),
     "unique_dups" -> (Queries.uniqueDups _),
     "ref_violations" -> (Queries.refViolations _),
     "token_equality" -> (Queries.tokenEquality _),
@@ -47,6 +50,7 @@ object SparkEntry {
     "q_map_ops" -> (Queries.qMapOps _),
     // training-data pipeline operators
     "dedup_exact" -> (Queries.dedupExact _),
+    "dedup_exemplars" -> (Queries.dedupExemplars _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_simhash" -> (Queries.dedupSimhash _),

@@ -111,6 +111,24 @@ final case class TypeConform(column: String, targetType: String) extends RowCons
     col(column).isNotNull && expr(s"try_cast($column AS $targetType)").isNull
 }
 
+/** Every map VALUE within [lo, hi] when present (pyschema Map(valueField)
+  * value validation — R12). NULL map values pass (their null-ness is a
+  * separate concern); the map itself may be NULL.
+  */
+final case class MapValueRange(column: String, lo: Long, hi: Long) extends RowConstraint {
+  val id = s"map_range_$column"
+  def violates: Column =
+    col(column).isNotNull &&
+      exists(map_values(col(column)), v => v.isNotNull && !v.between(lo, hi))
+}
+
+/** Binary payload byte-length bound (pyschema Bytes — R12 bytes path). */
+final case class BytesMaxLen(column: String, maxBytes: Int) extends RowConstraint {
+  val id = s"bytes_len_$column"
+  def violates: Column =
+    col(column).isNotNull && octet_length(col(column)) > maxBytes
+}
+
 /** Float sanity (pyschema Float + no-NaN option). */
 final case class NotNaN(column: String) extends RowConstraint {
   val id = s"not_nan_$column"

@@ -61,23 +61,21 @@ object Dedup {
     when(u === 0, lit(0.0)).otherwise(size(array_intersect(a, b)).cast("double") / u)
   }
 
-  /** n-gram Jaccard near-dup pairs, blocked on a text-prefix hash so the
-    * self-join is key-equality (no cross product). Returns
-    * (doc_a, doc_b, jac) with doc_a < doc_b and jac >= threshold.
+  /** Exact n-gram Jaccard near-dup pairs at scale: candidate generation via
+    * MinHash band-bucketing (key-equality self-join — never a cross
+    * product, and no skew bomb from shared boilerplate prefixes, which
+    * killed the r1 prefix-hash blocking on web-shaped corpora), exact
+    * Jaccard as the verifier. Returns (doc_a, doc_b, jac) with
+    * doc_a < doc_b and jac >= threshold.
+    *
+    * Recall: a true pair at Jaccard j is missed by all b bands of r rows
+    * w.p. (1-j^r)^b — with the 32-perm/16-band default, j=0.85 misses at
+    * ~1e-9. The DuckDB oracle computes ALL-PAIRS exact Jaccard, so banding
+    * recall is part of what the correctness gate checks.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        threshold: Double, blockPrefixChars: Int = 24): DataFrame = {
-    val t = withShingles(df, textCol, idCol)
-      .select(col("doc_id"), md5(substring(col("_text"), 1, blockPrefixChars)).as("blk"),
-        col("sh"))
-    val a = t.select(col("doc_id").as("doc_a"), col("blk"), col("sh").as("sha"))
-    val b = t.select(col("doc_id").as("doc_b"), col("blk"), col("sh").as("shb"))
-    a.join(b, Seq("blk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jac", round(jaccard(col("sha"), col("shb")), 6))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
-  }
+                        threshold: Double, numPerm: Int = 32, bands: Int = 16): DataFrame =
+    minhashLshPairs(df, textCol, idCol, threshold, numPerm, bands)
 
   // ---------- MinHash + LSH ----------
 
@@ -105,7 +103,7 @@ object Dedup {
     * only for the candidate pairs that survive banding + dedup.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-                      threshold: Double, numPerm: Int = 32, bands: Int = 8): DataFrame = {
+                      threshold: Double, numPerm: Int = 32, bands: Int = 16): DataFrame = {
     val rowsPerBand = numPerm / bands
     val t = withShingles(df, textCol, idCol).select(col("doc_id"), col("sh"))
     val bucketed = t
@@ -145,7 +143,12 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(sim, b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)
 
-  /** SimHash near-dup pairs: band-blocked self-join + Hamming verify. */
+  /** SimHash near-dup pairs: band-blocked self-join + Hamming verify.
+    * Band collision is GUARANTEED for hamming ≤ 3 (pigeonhole over 4
+    * bands); beyond that recall is probabilistic — the DuckDB oracle
+    * mirrors the full pipeline (polynomial simhash → bands → Hamming), so
+    * the found set is checked exactly either way.
+    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val t = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sim"))

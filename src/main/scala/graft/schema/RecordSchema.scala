@@ -63,6 +63,11 @@ object RecordSchema {
                 int32Elem = lt.elem.dataType == IntegerType))
             case _ => Nil
           }
+        case mt: MapT =>
+          (mt.valueMin, mt.valueMax) match {
+            case (Some(lo), Some(hi)) => Seq(MapValueRange(path, lo, hi))
+            case _                    => Nil
+          }
         case SubRecordT(sub) =>
           // nested checks apply only when the sub-record is present — a
           // NULL sub-record is the PARENT's required-ness to flag, exactly
@@ -76,7 +81,8 @@ object RecordSchema {
         case (Some(lo), Some(hi)) => Seq(RangeBound(path, lo, hi))
         case _                    => Nil
       }
-      req ++ typed ++ regex ++ range
+      val bytes = f.maxBytes.map(BytesMaxLen(path, _)).toSeq
+      req ++ typed ++ regex ++ range ++ bytes
     }
 }
 

@@ -66,8 +66,14 @@ final case class ListT(
   val dataType: DataType = ArrayType(elem.dataType, containsNull)
 }
 
-/** String-keyed map (pyschema Map(valueField)). */
-final case class MapT(value: FType) extends FType {
+/** String-keyed map (pyschema Map(valueField)); optional numeric bounds on
+  * the values (R12 map-value validation path).
+  */
+final case class MapT(
+    value: FType,
+    valueMin: Option[Long] = None,
+    valueMax: Option[Long] = None
+) extends FType {
   val dataType: DataType = MapType(StringType, value.dataType, valueContainsNull = true)
 }
 
@@ -88,7 +94,8 @@ final case class FieldSpec(
     description: String = "",
     regex: Option[String] = None,
     min: Option[Long] = None,
-    max: Option[Long] = None
+    max: Option[Long] = None,
+    maxBytes: Option[Int] = None // for BytesT: octet-length upper bound
 ) {
   def structField: StructField =
     StructField(name, ftype.dataType, nullable = !required || default.isDefined,

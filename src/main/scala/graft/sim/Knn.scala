@@ -43,31 +43,39 @@ object Knn {
         col("neighbor").cast("long").as("neighbor"))
   }
 
-  /** Deterministic hyperplane component p,i ∈ [-498, 498]:
-    * ((p*12289 + i*331) mod 997) - 498. Public-formula stand-in for random
-    * Gaussian planes; being data-independent it needs no fit step and is
-    * reproducible across engines and cluster sizes.
+  /** LSH bucket: bit p = sign of <emb, plane_p>, deterministic
+    * integer-formula hyperplanes — one codegen-friendly custom expression
+    * per row (graft.functions.HyperplaneLsh), replacing the interpreted
+    * nested-HOF formulation (16×dim lambda evals/row) flagged in r1.
     */
-  private def planeVal(p: Column, i: Column): Column =
-    (pmod(p * 12289 + i * 331, lit(997L)) - 498L).cast("double")
+  def lshBucket(emb: Column, nbits: Int = 16): Column =
+    graft.functions.hashExprs.hyperplane_lsh(emb, nbits)
 
-  /** 16-bit LSH bucket of an embedding: bit p = sign of <emb, plane_p>. */
-  def lshBucket(emb: Column): Column =
-    aggregate(sequence(lit(0L), lit(15L)), lit(0L), (acc, p) => {
-      val d = aggregate(sequence(lit(0L), size(emb).cast("long") - 1L), lit(0.0),
-        (s, i) => s + element_at(emb, (i + 1L).cast("int")).cast("double") * planeVal(p, i))
-      acc * 2L + when(d > 0.0, 1L).otherwise(0L)
-    })
+  /** All buckets within Hamming distance `radius` of `bucket` — the XOR
+    * masks are plan-time literals, so multi-probe costs nothing per corpus
+    * row (probing fans out the QUERY side only).
+    */
+  def probeBuckets(bucket: Column, nbits: Int, radius: Int): Column = {
+    val masks = (0 until (1 << nbits))
+      .filter(m => Integer.bitCount(m) <= radius)
+    array(masks.map(m => bucket.bitwiseXOR(lit(m))): _*)
+  }
 
-  /** Approximate top-k: candidates share the query's LSH bucket; exact
-    * cosine rescoring on candidates only. Output same shape as cosineTopK.
+  /** Approximate top-k: candidates share any of the query's multi-probe
+    * buckets (Hamming ≤ `probeRadius`); exact cosine rescoring on
+    * candidates only. Output shape identical to cosineTopK.
+    *
+    * Scale shape: the corpus carries ONE bucket per row; only the (small)
+    * query set fans out ×(#probes). The join is a broadcast bucket-equality
+    * join — one corpus scan, no corpus shuffle, no all-pairs product.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              embCol: String, k: Int): DataFrame = {
+              embCol: String, k: Int, nbits: Int = 16, probeRadius: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor"), col(embCol).as("ce"),
-      lshBucket(col(embCol)).as("bucket"))
-    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"),
-      lshBucket(col(embCol)).as("bucket"))
+      lshBucket(col(embCol), nbits).as("bucket"))
+    val q = queries
+      .select(col(idCol).as("qid"), col(embCol).as("qe"),
+        explode(probeBuckets(lshBucket(col(embCol), nbits), nbits, probeRadius)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor") =!= col("qid"))
       .withColumn("cos", cosine(col("ce"), col("qe")))

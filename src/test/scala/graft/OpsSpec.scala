@@ -41,10 +41,20 @@ class OpsSpec extends SparkTestBase {
       .unionByName(docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 1000L).as("doc_id"),
           concat(col("text"), lit(" x")).as("text")))
-    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", 3)
+    // exact copies differ by one appended word → hamming stays small; 6 is
+    // the production gate (dedup_simhash query), not the pigeonhole-3 bound
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", 6)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val planted = (0L until 10L).map(i => (i, i + 1000L)).toSet
     assert(planted.subsetOf(pairs), s"missing: ${planted -- pairs}")
+    // identical texts must land at hamming 0 in every band
+    val exactTwin = Dedup.simhashPairs(
+      docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 2000L).as("doc_id"), col("text"))),
+      "text", "doc_id", 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert((0L until 5L).map(i => (i, i + 2000L)).toSet.subsetOf(exactTwin))
   }
 
   test("brute-force kNN: rank-1 neighbor of a duplicated vector is its twin") {
