@@ -222,6 +222,20 @@ object OracleSql {
     "json_roundtrip" ->
       "SELECT doc_id, CAST(TRUE AS BOOLEAN) AS ok FROM documents ORDER BY doc_id",
 
+    // Avro-JSON encoding (R17): the oracle constructs the exact encoded
+    // string — unions wrapped as {"<branch>":v}, nulls explicit, required
+    // fields plain, no whitespace (to_json's compact form)
+    "avro_roundtrip" -> """SELECT doc_id,
+      |  '{"doc_id":' || doc_id ||
+      |  ',"lang":' || CASE WHEN lang IS NULL OR lang = 'zh' THEN 'null'
+      |                     ELSE '{"string":"' || lang || '"}' END ||
+      |  ',"source":"' || source || '"' ||
+      |  ',"n_chars":' || CASE WHEN n_chars IS NULL THEN 'null'
+      |                        ELSE '{"long":' || n_chars || '}' END ||
+      |  '}' AS avro,
+      |  CAST(TRUE AS BOOLEAN) AS ok
+      |FROM documents ORDER BY doc_id""".stripMargin,
+
     "schema_dispatch" -> """SELECT CASE doc_id % 3 WHEN 0 THEN 'DocA' WHEN 1 THEN 'DocB'
       |  ELSE '__unknown__' END AS record_name,
       |  CAST(count(*) AS BIGINT) AS n

@@ -9,7 +9,7 @@ import graft.constraint._
 import graft.dedup.Dedup
 import graft.drift.DriftCheck
 import graft.gen.SyntheticTokens
-import graft.json.JsonCodec
+import graft.json.{AvroJsonCodec, JsonCodec}
 import graft.multimodal.MediaPipeline
 import graft.ref.ReferentialCheck
 import graft.run.Validator
@@ -252,6 +252,33 @@ object Queries {
         col("_rec.lang") <=> col("lang") &&
         col("_rec.source") <=> col("source") &&
         col("_rec.n_chars") <=> col("n_chars")).as("ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Avro-JSON data encoding round-trip (R17 — pyschema_extensions/avro.py
+    * :: avro_dump/avro_load [U]): nullable fields union-wrapped
+    * (`{"string":v}` / `null`), required fields plain; decode restores the
+    * natural struct and must equal the original field-for-field. `lang` is
+    * nulled on 'zh' so the null union branch is exercised by real rows.
+    */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val schema = RecordSchema("AvroDoc", Seq(
+      FieldSpec("doc_id", IntT(8), required = true),
+      FieldSpec("lang", EnumT(Seq("de", "en", "es", "fr"))),
+      FieldSpec("source", TextT, required = true),
+      FieldSpec("n_chars", IntT(8))), autoRegister = false)
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      when(col("lang") === "zh", lit(null).cast("string")).otherwise(col("lang")).as("lang"),
+      col("source"),
+      col("n_chars"))
+    d.withColumn("avro", AvroJsonCodec.avroDumps(schema))
+      .withColumn("_rec", AvroJsonCodec.avroLoads(col("avro"), schema))
+      .select(col("doc_id"), col("avro"),
+        (col("_rec.doc_id") <=> col("doc_id") &&
+          col("_rec.lang") <=> col("lang") &&
+          col("_rec.source") <=> col("source") &&
+          col("_rec.n_chars") <=> col("n_chars")).as("ok"))
       .orderBy(col("doc_id"))
   }
 

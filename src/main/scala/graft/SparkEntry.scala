@@ -38,6 +38,7 @@ object SparkEntry {
     "drift_stats" -> (Queries.driftStats _),
     "events_drift" -> (Queries.eventsDrift _),
     "json_roundtrip" -> (Queries.jsonRoundtrip _),
+    "avro_roundtrip" -> (Queries.avroRoundtrip _),
     "schema_dispatch" -> (Queries.schemaDispatch _),
     "ckpt_resume" -> (Queries.ckptResume _),
     // relational breadth

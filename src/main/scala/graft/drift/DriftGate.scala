@@ -1,7 +1,6 @@
 package graft.drift
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.constraint.Drift
 
@@ -29,43 +28,61 @@ object DriftGate {
 
   /** (groupCols..., ks, chi2, n0, n1) — per-group two-sample statistics.
     * Empty `groupCols` = one global row.
+    *
+    * Plan shape: ONE full-data partial+final aggregate (key space
+    * #groups × #buckets), then a per-group collect of the ≤#buckets rows and
+    * the KS/χ² scan over that tiny sorted array with HOF expressions. Two
+    * exchanges total — the previous window-based formulation cost four tiny
+    * stage barriers per run (a WindowExec over a single partition each),
+    * which is pure critical-path latency at every scale and a serial stage
+    * in the scaling protocol (BENCH/BASELINE.md).
     */
   def groupedStats(df: DataFrame, d: Drift, groupCols: Seq[String]): DataFrame = {
     requireEpoch(df, d)
     val g: Seq[Column] = groupCols.map(col)
-    val hist = df.filter(col(d.column).isNotNull)
-      .groupBy(g ++ Seq(
-        col(d.epochColumn).cast("int").as("epoch"),
-        floor(col(d.column).cast("double") / d.bucketWidth.toDouble).cast("int").as("bucket")): _*)
-      .agg(count(lit(1)).as("cnt"))
-    val perBucket = hist.groupBy(g :+ col("bucket"): _*).agg(
-      sum(when(col("epoch") === 0, col("cnt")).otherwise(0L)).as("c0"),
-      sum(when(col("epoch") === 1, col("cnt")).otherwise(0L)).as("c1"))
-    val w = Window.partitionBy(g: _*).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(g: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perBucket
-      .withColumn("cum0", sum(col("c0")).over(w))
-      .withColumn("cum1", sum(col("c1")).over(w))
-      .withColumn("n0", sum(col("c0")).over(wAll))
-      .withColumn("n1", sum(col("c1")).over(wAll))
+    // one pass: per-(group, bucket) counts split by epoch
+    val perBucket = df.filter(col(d.column).isNotNull)
+      .groupBy(g :+
+        floor(col(d.column).cast("double") / d.bucketWidth.toDouble).cast("int").as("bucket"): _*)
+      .agg(
+        sum(when(col(d.epochColumn).cast("int") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col(d.epochColumn).cast("int") === 1, 1L).otherwise(0L)).as("c1"))
+    // per-group: sort the tiny bucket array, scan it for KS (running CDFs)
+    // and χ² (per-bucket expected-count terms) — interpreted lambdas are
+    // fine here, the array is ≤ #buckets elements
+    val grouped = perBucket
+      .groupBy(g: _*)
+      .agg(array_sort(collect_list(struct(col("bucket"), col("c0"), col("c1")))).as("h"))
+      .withColumn("n0", aggregate(col("h"), lit(0L), (acc, x) => acc + x("c0")))
+      .withColumn("n1", aggregate(col("h"), lit(0L), (acc, x) => acc + x("c1")))
+    val n0 = col("n0"); val n1 = col("n1")
+    grouped
       // a one-epoch group has no second sample — KS is 0 (no drift
       // evidence), and dividing by the empty side's 0 would throw under ANSI
-      .withColumn("d",
-        when(col("n0") > 0 && col("n1") > 0,
-          abs(col("cum0") / col("n0") - col("cum1") / col("n1"))).otherwise(0.0))
-      .withColumn("e0", col("n0") * (col("c0") + col("c1")) / (col("n0") + col("n1")))
-      .withColumn("e1", col("n1") * (col("c0") + col("c1")) / (col("n0") + col("n1")))
-      .withColumn("term",
-        when(col("e0") > 0, pow(col("c0") - col("e0"), 2) / col("e0")).otherwise(0.0) +
-        when(col("e1") > 0, pow(col("c1") - col("e1"), 2) / col("e1")).otherwise(0.0))
-      .groupBy(g: _*)
-      .agg(
-        round(max(col("d")), 6).as("ks"),
-        round(sum(col("term")), 6).as("chi2"),
-        max(col("n0")).as("n0"),
-        max(col("n1")).as("n1"))
+      .withColumn("ks",
+        when(col("h").isNull || size(col("h")) === 0, lit(null).cast("double"))
+          .when(n0 > 0 && n1 > 0,
+            round(aggregate(col("h"),
+              struct(lit(0L).as("cum0"), lit(0L).as("cum1"), lit(0.0).as("d")),
+              (acc, x) => struct(
+                (acc("cum0") + x("c0")).as("cum0"),
+                (acc("cum1") + x("c1")).as("cum1"),
+                greatest(acc("d"),
+                  abs((acc("cum0") + x("c0")) / n0 - (acc("cum1") + x("c1")) / n1)).as("d")),
+              acc => acc("d")), 6))
+          .otherwise(0.0))
+      .withColumn("chi2",
+        when(col("h").isNull || size(col("h")) === 0, lit(null).cast("double"))
+          .otherwise(round(aggregate(col("h"), lit(0.0), (acc, x) => {
+            val e0 = n0 * (x("c0") + x("c1")) / (n0 + n1)
+            val e1 = n1 * (x("c0") + x("c1")) / (n0 + n1)
+            acc +
+              when(e0 > 0, pow(x("c0") - e0, 2) / e0).otherwise(0.0) +
+              when(e1 > 0, pow(x("c1") - e1, 2) / e1).otherwise(0.0)
+          }), 6)))
+      .withColumn("n0", when(size(col("h")) === 0, lit(null).cast("long")).otherwise(n0))
+      .withColumn("n1", when(size(col("h")) === 0, lit(null).cast("long")).otherwise(n1))
+      .select(g ++ Seq(col("ks"), col("chi2"), col("n0"), col("n1")): _*)
   }
 
   /** Global drift verdict as a violation row (keyCol NULL, typed to match

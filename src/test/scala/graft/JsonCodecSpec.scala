@@ -52,6 +52,56 @@ class JsonCodecSpec extends SparkTestBase {
     assert(unknown.select("constraint_id").distinct().head().getString(0) === "schema_dispatch")
   }
 
+  test("Avro-JSON encoding wraps nullable unions, keeps required fields plain") {
+    import graft.json.AvroJsonCodec
+    val sch = RecordSchema("AvroRec", Seq(
+      FieldSpec("id", IntT(8), required = true),
+      FieldSpec("name", TextT),
+      FieldSpec("n", IntT(4)),
+      FieldSpec("xs", ListT(IntT(4)), required = true)), autoRegister = false)
+    val df = Seq(
+      (1L, "a", Some(7), Seq(1, 2)),
+      (2L, null, None: Option[Int], Seq.empty[Int])
+    ).toDF("id", "name", "n", "xs")
+    val out = df.select(AvroJsonCodec.avroDumps(sch).as("j")).orderBy(col("j")).collect().map(_.getString(0))
+    assert(out(0) === """{"id":1,"name":{"string":"a"},"n":{"int":7},"xs":[1,2]}""")
+    assert(out(1) === """{"id":2,"name":null,"n":null,"xs":[]}""")
+  }
+
+  test("Avro-JSON round-trips dates, bytes (base64), timestamps and sub-records") {
+    import graft.json.AvroJsonCodec
+    val meta = RecordSchema("AvMeta", Seq(
+      FieldSpec("origin", TextT, required = true),
+      FieldSpec("rating", IntT(8))), autoRegister = false)
+    val sch = RecordSchema("AvFull", Seq(
+      FieldSpec("id", IntT(8), required = true),
+      FieldSpec("d", DateT),
+      FieldSpec("ts", DateTimeT),
+      FieldSpec("b", BytesT),
+      FieldSpec("m", SubRecordT(meta))), autoRegister = false)
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2020-06-15"),
+        java.sql.Timestamp.valueOf("2020-06-15 12:34:56.789"),
+        Array[Byte](1, 2, 3), ("web", 4L)),
+      (2L, null.asInstanceOf[java.sql.Date], null.asInstanceOf[java.sql.Timestamp],
+        null.asInstanceOf[Array[Byte]], null.asInstanceOf[(String, Long)])
+    ).toDF("id", "d", "ts", "b", "m")
+      .withColumn("m", when(col("m").isNotNull,
+        struct(col("m._1").as("origin"), col("m._2").as("rating"))))
+    val back = df.withColumn("j", AvroJsonCodec.avroDumps(sch))
+      .withColumn("r", AvroJsonCodec.avroLoads(col("j"), sch))
+    val bad = back.filter(
+      !(col("r.id") <=> col("id")) || !(col("r.d") <=> col("d")) ||
+      !(col("r.ts") <=> col("ts")) || !(col("r.b") <=> col("b")) ||
+      !(col("r.m") <=> col("m")))
+    assert(bad.count() === 0L)
+    // date union branch is the Avro underlying primitive, days-since-epoch
+    val j = back.filter(col("id") === 1L).select("j").head().getString(0)
+    assert(j.contains(""""d":{"int":18428}"""), j)
+    assert(j.contains(""""b":{"bytes":"AQID"}"""), j)
+    assert(j.contains(""""m":{"AvMeta":{"origin":"web","rating":{"long":4}}}"""), j)
+  }
+
   test("SchemaRegistry: auto-registration and opt-out") {
     val before = SchemaRegistry.contains("OptOutRec")
     RecordSchema("OptOutRec", Seq(FieldSpec("id", IntT(8))), autoRegister = false)
