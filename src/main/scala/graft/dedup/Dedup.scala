@@ -31,27 +31,25 @@ object Dedup {
 
   // ---------- shingles + Jaccard ----------
 
-  /** Distinct word 3-gram shingles from a MATERIALIZED words column.
-    * (Passing split(text) directly would inline the split expression into
-    * all three element_at references — 3 splits per shingle index.)
+  /** Distinct word 3-gram shingles — single custom expression
+    * (graft.functions.WordShingles): one pass over the words array, <3
+    * words ⇒ empty set (the oracle's range(0, len-2) semantics). The
+    * earlier transform(sequence)+element_at lambda was the dominant cost of
+    * every dedup query: CollapseProject inlined the upstream split() into
+    * all three element_at references — three regex splits of the full text
+    * PER SHINGLE (~1.5 ms/doc, DedupProbe).
     */
   def shinglesOfWords(ws: Column): Column =
-    // <3 words ⇒ empty shingle set (matches the oracle's range(0, len-2));
-    // without the guard sequence(0, negative) descends and element_at
-    // throws INVALID_ARRAY_INDEX (ADVICE r1, high)
-    when(size(ws) < 3, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(0), size(ws) - 3),
-        j => concat_ws(" ", element_at(ws, j + 1), element_at(ws, j + 2), element_at(ws, j + 3)))))
+    graft.functions.hashExprs.word_shingles(ws, 3)
 
-  /** doc frame → (idCol as doc_id, sh) with words materialized first.
-    * Shingle-less docs (<3 words) are dropped: they can't be n-gram
-    * near-dups, and at web scale every such doc would hash into the SAME
-    * MinHash band buckets — one quadratic hot bucket for the whole corpus.
+  /** doc frame → (idCol as doc_id, sh). Shingle-less docs (<3 words) are
+    * dropped: they can't be n-gram near-dups, and at web scale every such
+    * doc would hash into the SAME MinHash band buckets — one quadratic hot
+    * bucket for the whole corpus.
     */
   private def withShingles(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), col(textCol).as("_text"),
-        TextAnalysis.words(col(textCol)).as("_ws"))
-      .select(col("doc_id"), col("_text"), shinglesOfWords(col("_ws")).as("sh"))
+    df.select(col(idCol).as("doc_id"),
+        shinglesOfWords(TextAnalysis.words(col(textCol))).as("sh"))
       .filter(size(col("sh")) > 0)
 
   def jaccard(a: Column, b: Column): Column = {
@@ -116,9 +114,20 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in several bands
+    // Verify on 64-bit-hashed shingle sets, not the strings: xxhash64 is
+    // injective on the ~dozens of distinct shingles per doc in practice
+    // (collision odds ~1e-13 corpus-wide), the Jaccard VALUE is identical,
+    // and long-array set intersection is several times cheaper than
+    // string-array — at a band S-curve matched to a low threshold the
+    // candidate verify dominates the whole pipeline. The size-ratio
+    // prefilter is exact: J(A,B) <= min|A|,|B| / max|A|,|B|.
+    val th = t.select(col("doc_id"),
+      transform(col("sh"), x => xxhash64(x)).as("shh"), size(col("sh")).as("sz"))
     pairs
-      .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(t.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .join(th.select(col("doc_id").as("doc_a"), col("shh").as("sha"), col("sz").as("sza")), Seq("doc_a"))
+      .join(th.select(col("doc_id").as("doc_b"), col("shh").as("shb"), col("sz").as("szb")), Seq("doc_b"))
+      .filter(least(col("sza"), col("szb")).cast("double") >=
+        lit(threshold) * greatest(col("sza"), col("szb")))
       .withColumn("jac", round(jaccard(col("sha"), col("shb")), 6))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))

@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>).
@@ -27,6 +26,23 @@ object Knn {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Bounded-heap per-query ranking: map-side partials reduce each input
+    * partition to ≤k rows per query BEFORE the exchange, so the shuffle
+    * carries ≤ #partitions × #queries × k tiny buffers — the 100×-safe form
+    * of `row_number().over(partitionBy(qid))`, which re-shuffles every
+    * scored row into #queries hot reducers. Same total order (score desc,
+    * neighbor asc) ⇒ identical output.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
+    scored
+      .groupBy(col("qid"))
+      .agg(topk(col("cos"), col("neighbor").cast("long")).as("nbrs"))
+      .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "neighbor")))
+      .select(col("qid").cast("long").as("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("neighbor"))
+  }
+
   /** Exact top-k cosine neighbors for each query row.
     * Output: (qid, rank, neighbor) — integer-only, oracle-exact.
     */
@@ -36,11 +52,7 @@ object Knn {
     val scored = corpus.select(col(idCol).as("neighbor"), col(embCol).as("ce"))
       .join(broadcast(q), col("neighbor") =!= col("qid"))
       .withColumn("cos", cosine(col("ce"), col("qe")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").cast("long").as("qid"), col("rank").cast("long").as("rank"),
-        col("neighbor").cast("long").as("neighbor"))
+    rankTopK(scored, k)
   }
 
   /** LSH bucket: bit p = sign of <emb, plane_p>, deterministic
@@ -79,10 +91,6 @@ object Knn {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor") =!= col("qid"))
       .withColumn("cos", cosine(col("ce"), col("qe")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").cast("long").as("qid"), col("rank").cast("long").as("rank"),
-        col("neighbor").cast("long").as("neighbor"))
+    rankTopK(scored, k)
   }
 }

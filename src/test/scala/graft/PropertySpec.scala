@@ -78,7 +78,10 @@ class PropertySpec extends SparkTestBase {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       val b = SaltedUniqueness.naiveDuplicates(df, "k")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val c = SaltedUniqueness.duplicatesHashCompacted(df, "k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       assert(a === b)
+      assert(c === b) // hash compaction is exact: collisions re-verified on the key
       assert(a.exists(_._1 == "HOT")) // the generator plants a hot key
     }
   }
