@@ -213,6 +213,31 @@ object OracleSql {
       |       CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1
       |FROM t""".stripMargin,
 
+    "drift_gate" -> s"""WITH $Base,
+      |h AS (SELECT source, CAST(floor(n_tok0 / 32.0) AS INTEGER) AS bucket,
+      |             sum(CASE WHEN orig % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+      |             sum(CASE WHEN orig % 2 = 1 THEN 1 ELSE 0 END) AS c1
+      |      FROM base GROUP BY 1, 2),
+      |c AS (SELECT source, bucket, c0, c1,
+      |             sum(c0) OVER (PARTITION BY source ORDER BY bucket) AS cum0,
+      |             sum(c1) OVER (PARTITION BY source ORDER BY bucket) AS cum1,
+      |             sum(c0) OVER (PARTITION BY source) AS n0,
+      |             sum(c1) OVER (PARTITION BY source) AS n1
+      |      FROM h),
+      |t AS (SELECT source,
+      |             CASE WHEN n0 > 0 AND n1 > 0
+      |                  THEN abs(CAST(cum0 AS DOUBLE)/n0 - CAST(cum1 AS DOUBLE)/n1)
+      |                  ELSE 0.0 END AS d,
+      |             CAST(n0*(c0+c1) AS DOUBLE)/(n0+n1) AS e0,
+      |             CAST(n1*(c0+c1) AS DOUBLE)/(n0+n1) AS e1,
+      |             c0, c1, n0, n1
+      |      FROM c)
+      |SELECT source, round(max(d), 6) AS ks,
+      |       round(sum((CASE WHEN e0 > 0 THEN (c0-e0)*(c0-e0)/e0 ELSE 0 END)
+      |               + (CASE WHEN e1 > 0 THEN (c1-e1)*(c1-e1)/e1 ELSE 0 END)), 6) AS chi2,
+      |       CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1
+      |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
     "events_drift" -> """SELECT event_type,
       |  CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END AS half,
       |  CAST(count(*) AS BIGINT) AS cnt,
@@ -436,6 +461,29 @@ object OracleSql {
       |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
       |       CAST(vec_id AS BIGINT) AS neighbor
       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Embedding-cosine near-dup: bucket mirror of HyperplaneLsh + exact
+    // cosine (index-ordered fold), rounded BEFORE the threshold filter as
+    // in Dedup.embeddingPairs
+    "dedup_embedding" -> s"""WITH e AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+      |b AS (SELECT vec_id, embedding,
+      |  list_reduce(list_prepend(0, list_transform(range(0, 16), p ->
+      |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(0, len(embedding)),
+      |             i -> CAST(embedding[i+1] AS DOUBLE) * ((p*12289 + i*331) % 997 - 498))),
+      |           (a, x) -> a + x) > 0 THEN 1 ELSE 0 END)),
+      |    (acc, bb) -> acc*2 + bb) AS bucket
+      |  FROM e),
+      |p AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+      |        round(${dot("x.embedding", "y.embedding")}
+      |          / (sqrt(${dot("x.embedding", "x.embedding")})
+      |             * sqrt(${dot("y.embedding", "y.embedding")})), 6) AS cos
+      |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, cos
+      |FROM p WHERE cos >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_tokens" -> """SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
       |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS words

@@ -231,6 +231,16 @@ object Queries {
       clean(s, dir).withColumn("epoch", pmod(col("orig"), lit(2L))),
       "n_tok", "epoch", 32L)
 
+  /** Per-group drift verdicts through the DECLARED-constraint path
+    * (graft.drift.DriftGate — the rewritten single-aggregation KS/χ²):
+    * two-sample stats per source partition. Protects the gate
+    * implementation with a hash-checked oracle, not just unit tests.
+    */
+  def driftGate(s: SparkSession, dir: String): DataFrame =
+    graft.drift.DriftGate.groupedStats(
+      clean(s, dir), Drift("n_tok", "epoch", 32L), Seq("source"))
+      .orderBy(col("source"))
+
   /** Drift on a provided table: events value distribution across month
     * halves (exact counts + order-free min/max).
     */
@@ -452,6 +462,22 @@ object Queries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(nearDupCorpus(s, dir), "text", "doc_id", 6)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Embedding-cosine near-dup (the fifth dedup flavor): planted exact
+    * twins (vec_id%20==0 → +100000, same embedding) must be recalled with
+    * cos=1.0; organic same-bucket pairs are verified exactly. The oracle
+    * mirrors bucketing + cosine in SQL, so recall and scores are
+    * hash-checked.
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = e.filter(pmod(col("vec_id"), lit(20L)) === 0L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Dedup.embeddingPairs(e.unionByName(planted), "vec_id", "embedding", 0.9)
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"), col("cos"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)

@@ -36,6 +36,7 @@ object SparkEntry {
     "partition_summary" -> (Queries.partitionSummary _),
     "drift_hist" -> (Queries.driftHist _),
     "drift_stats" -> (Queries.driftStats _),
+    "drift_gate" -> (Queries.driftGate _),
     "events_drift" -> (Queries.eventsDrift _),
     "json_roundtrip" -> (Queries.jsonRoundtrip _),
     "avro_roundtrip" -> (Queries.avroRoundtrip _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
+    "dedup_embedding" -> (Queries.dedupEmbedding _),
     "sim_topk" -> (Queries.simTopK _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
     "text_tokens" -> (Queries.textTokens _),

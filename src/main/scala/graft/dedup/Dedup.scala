@@ -133,6 +133,30 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  // ---------- embedding cosine ----------
+
+  /** Embedding-cosine near-dup pairs: hyperplane-LSH bucket blocking
+    * (graft.functions.HyperplaneLsh — one bucket per row, so the self-join
+    * is a key-equality join with no pair duplication) + exact cosine
+    * verify on candidates only. Returns (doc_a, doc_b, cos) with
+    * doc_a < doc_b and cos >= threshold. Identical embeddings share a
+    * bucket by construction, so exact-twin recall is 1; near-twins within
+    * the same half-space signature are found, which is the standard
+    * single-probe trade-off (multi-probe as in Knn.lshTopK if needed).
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, embCol: String,
+                     threshold: Double, nbits: Int = 16): DataFrame = {
+    val t = df.select(col(idCol).as("doc_id"), col(embCol).as("e"),
+      graft.sim.Knn.lshBucket(col(embCol), nbits).as("bucket"))
+    val a = t.select(col("bucket"), col("doc_id").as("doc_a"), col("e").as("ea"))
+    val b = t.select(col("bucket"), col("doc_id").as("doc_b"), col("e").as("eb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos", round(graft.sim.Knn.cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+  }
+
   // ---------- SimHash ----------
 
   /** 63-bit SimHash over word hashes (bit 63 unused: 2^63 overflows signed
