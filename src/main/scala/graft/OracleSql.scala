@@ -486,7 +486,8 @@ object OracleSql {
       |FROM p WHERE cos >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_tokens" -> """SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
-      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS words
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS words,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens_bpe
       |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" -> """WITH t AS (

@@ -507,7 +507,8 @@ object Queries {
     docs(s, dir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("chars"),
-      TextAnalysis.wordCount(col("text")).as("words"))
+      TextAnalysis.wordCount(col("text")).as("words"),
+      TextAnalysis.bpeTokenCount(col("text")).as("tokens_bpe"))
       .orderBy(col("doc_id"))
 
   def textQuality(s: SparkSession, dir: String): DataFrame = {

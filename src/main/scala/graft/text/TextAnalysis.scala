@@ -20,6 +20,15 @@ object TextAnalysis {
 
   def wordCount(text: Column): Column = size(words(text)).cast("long")
 
+  /** BPE-ish sub-word token estimate: letter runs, single digits, and
+    * single non-alnum marks — the GPT-2-style pre-tokenizer shape, kept to
+    * constructs whose Java-regex and RE2 semantics coincide so the oracle
+    * mirrors it exactly.
+    */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenRe)).cast("long")
+
   /** Polynomial rolling-hash fingerprint over words (order-sensitive,
     * locality-free exact-dup key that never materializes the text).
     */
