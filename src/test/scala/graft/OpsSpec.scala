@@ -36,6 +36,36 @@ class OpsSpec extends SparkTestBase {
     assert(planted.subsetOf(pairs), s"missing: ${planted -- pairs}")
   }
 
+  test("shared-boilerplate prefix cannot blow up candidate generation (skew safety)") {
+    // 200 docs share a 15-word header but have unique 60-word tails
+    // (pairwise jaccard ~0.15 < threshold): the r1 prefix-hash blocking put
+    // ALL of them in one block (19,900 verify pairs); MinHash banding must
+    // keep candidates near the planted set, not near n^2/2.
+    val header = (1 to 15).map(i => s"boiler$i").mkString(" ")
+    val base = (0 until 200).map { d =>
+      (d.toLong, header + " " + (0 until 60).map(w => s"tail${d}w$w").mkString(" "))
+    }
+    val planted = (0 until 5).map { d =>
+      (1000L + d, base(d)._2 + " mutated")
+    }
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+    // candidate pairs = the banding self-join BEFORE verification
+    val t = corpus.select(col("doc_id"),
+      Dedup.shinglesOfWords(graft.text.TextAnalysis.words(col("text"))).as("sh"))
+    val bucketed = t.select(col("doc_id"), explode(
+        Dedup.bandBuckets(Dedup.minhashSignature(col("sh"), 32), 16, 2)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cands = bucketed.as("a").join(bucketed.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(cands < 200L, s"candidate blow-up: $cands pairs from 205 docs")
+    // and the planted near-dups are still all found
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val want = (0 until 5).map(d => (d.toLong, 1000L + d)).toSet
+    assert(want.subsetOf(pairs), s"missing planted: ${want -- pairs}")
+  }
+
   test("simhash pairs find planted near-dups with small hamming") {
     val corpus = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") < 10)
