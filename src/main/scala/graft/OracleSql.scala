@@ -22,7 +22,7 @@ object OracleSql {
 
   private val SeqsCte =
     """seqs AS (
-      |  SELECT printf('doc-%012d', orig) AS doc_id,
+      |  SELECT 'doc-' || lpad(CAST(orig AS VARCHAR), 12, '0') AS doc_id,
       |         list_transform(range(0, n_tok0),
       |           i -> CAST((orig*2654435761 + i*97003 + 7) % 32768 AS INTEGER)) AS tokens,
       |         n_tok0 AS n_tok, source, orig
@@ -36,9 +36,9 @@ object OracleSql {
       |dirty AS (
       |  SELECT
       |    CASE WHEN cls = 1 THEN NULL
-      |         WHEN cls = 2 THEN printf('doc-%012d', 999000)
-      |         WHEN cls = 7 THEN printf('doc-%012d', 999007)
-      |         ELSE printf('doc-%012d', orig) END AS doc_id,
+      |         WHEN cls = 2 THEN 'doc-' || lpad('999000', 12, '0')
+      |         WHEN cls = 7 THEN 'doc-' || lpad('999007', 12, '0')
+      |         ELSE 'doc-' || lpad(CAST(orig AS VARCHAR), 12, '0') END AS doc_id,
       |    list_transform(range(0, n_tok0),
       |      i -> CASE WHEN cls = 6 AND i = 0 THEN CAST(-1 AS INTEGER)
       |                ELSE CAST((orig*2654435761 + i*97003 + 7) % 32768 AS INTEGER) END) AS tokens,

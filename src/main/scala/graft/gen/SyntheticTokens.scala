@@ -44,7 +44,10 @@ object SyntheticTokens {
   val DupBase = 999000L
   val HotBase = 999007L
 
-  private def docIdStr(c: Column): Column = format_string("doc-%012d", c)
+  // concat+lpad, not format_string: java.util.Formatter costs ~2x per row
+  // (tools/IdGenProbe), and doc_id is generated in every suite branch
+  private def docIdStr(c: Column): Column =
+    concat(lit("doc-"), lpad(c.cast("string"), 12, "0"))
 
   private def nTok0(orig: Column): Column =
     (lit(1L) + pmod(orig * NA + NB, lit(NTokMod))).cast("int")
