@@ -213,6 +213,11 @@ object OracleSql {
       |       CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1
       |FROM t""".stripMargin,
 
+    "hist_udaf" -> s"""WITH $Base
+      |SELECT source, CAST(floor(n_tok0 / 32.0) AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM base GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
+
     "drift_gate" -> s"""WITH $Base,
       |h AS (SELECT source, CAST(floor(n_tok0 / 32.0) AS INTEGER) AS bucket,
       |             sum(CASE WHEN orig % 2 = 0 THEN 1 ELSE 0 END) AS c0,

@@ -231,6 +231,21 @@ object Queries {
       clean(s, dir).withColumn("epoch", pmod(col("orig"), lit(2L))),
       "n_tok", "epoch", 32L)
 
+  /** Per-source n_tok histogram through the custom typed Aggregator
+    * (graft.stats.HistogramAgg — bounded Array[Long] buffers merged
+    * map-side, the Dataset-native treeAggregate). Exploded to rows so the
+    * UDAF itself is oracle-checked, not just unit-tested.
+    */
+  def histUdaf(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.stats.HistogramSketch.histogram(17, 32L)
+    clean(s, dir).groupBy(col("source"))
+      .agg(h(col("n_tok").cast("long")).as("hist"))
+      .select(col("source"), posexplode(col("hist")).as(Seq("bucket", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("source"), col("bucket").cast("long").as("bucket"), col("cnt"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** Per-group drift verdicts through the DECLARED-constraint path
     * (graft.drift.DriftGate — the rewritten single-aggregation KS/χ²):
     * two-sample stats per source partition. Protects the gate

@@ -37,6 +37,7 @@ object SparkEntry {
     "drift_hist" -> (Queries.driftHist _),
     "drift_stats" -> (Queries.driftStats _),
     "drift_gate" -> (Queries.driftGate _),
+    "hist_udaf" -> (Queries.histUdaf _),
     "events_drift" -> (Queries.eventsDrift _),
     "json_roundtrip" -> (Queries.jsonRoundtrip _),
     "avro_roundtrip" -> (Queries.avroRoundtrip _),
