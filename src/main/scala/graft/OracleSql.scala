@@ -73,6 +73,12 @@ object OracleSql {
     * the hard oracle for every LSH dedup operator: any candidate-generation
     * recall loss shows up as a row/hash mismatch. Shingle-less docs
     * (<3 words) are excluded on both sides.
+    *
+    * Scale bound: ground truth is quadratic BY DESIGN (that is what makes
+    * it an oracle rather than a mirror of the banding under test) — fine at
+    * the driver's sf0.01 gate (500 docs), ~20+ min of single-threaded
+    * DuckDB at sf0.1 (5,250 docs → 13.8M list intersections). Don't run
+    * the oracle side above sf0.01.
     */
   private val NearDupPairs =
     """nd_corpus AS (
@@ -80,13 +86,13 @@ object OracleSql {
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text || ' graft extra suffix tokens' AS text
       |  FROM documents WHERE doc_id % 20 = 0),
+      |nd_w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |      FROM nd_corpus),
       |nd_sh AS (SELECT doc_id,
       |        list_distinct(list_transform(
-      |          range(0, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
-      |          j -> regexp_split_to_array(trim(text), '\s+')[j+1] || ' ' ||
-      |               regexp_split_to_array(trim(text), '\s+')[j+2] || ' ' ||
-      |               regexp_split_to_array(trim(text), '\s+')[j+3])) AS sh
-      |      FROM nd_corpus),
+      |          range(0, greatest(len(ws) - 2, 0)),
+      |          j -> ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3])) AS sh
+      |      FROM nd_w),
       |nd_ne AS (SELECT doc_id, sh FROM nd_sh WHERE len(sh) > 0),
       |nd_pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
