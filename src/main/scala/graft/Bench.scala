@@ -72,6 +72,29 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** (total, steal) jiffies from /proc/stat — the hypervisor's record of
+    * CPU taken by co-tenants. Sampled around each scaling rep: the levels
+    * are hit ASYMMETRICALLY by host noise (a busy co-tenant costs a
+    * 32-thread run far more than an 8-thread run), so the steal% of the
+    * chosen minimum is part of the evidence, not an excuse.
+    */
+  private def cpuStat(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val v = try f.getLines().next().trim.split("\\s+").slice(1, 9).map(_.toLong)
+      finally f.close()
+      (v.sum, v(7))
+    } catch { case _: Throwable => (0L, 0L) }
+
+  /** Run f, returning (wall seconds, steal% of machine capacity while it ran). */
+  private def timedWithSteal[A](f: => A): (Double, Double) = {
+    val (t0, s0) = cpuStat()
+    val w = timed(f)
+    val (t1, s1) = cpuStat()
+    val steal = if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0
+    (w, steal)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -108,6 +131,7 @@ object Bench {
     // this VM's page-cache read path is serial (~1.4 GB/s) and would
     // cap any core count — a per-executor resource on a real cluster.
     var t8 = 0.0; var t32 = 0.0; var tStorage = 0.0
+    var steal8 = 0.0; var steal32 = 0.0
     val comp = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
     val compNames = Seq("gen", "rowpass", "unique", "ref", "drift")
     if (!skipScaling) {
@@ -140,8 +164,12 @@ object Bench {
         Seq(8, 32).foreach { cores =>
           val s = session(cores)
           if (round == 1) suite(s, scaleRows) // untimed JIT/codegen warmup
-          val t = timed(suite(s, scaleRows))
-          if (cores == 8) best8 = math.min(best8, t) else best32 = math.min(best32, t)
+          val (t, st) = timedWithSteal(suite(s, scaleRows))
+          if (cores == 8) {
+            if (t < best8) { best8 = t; steal8 = st }
+          } else {
+            if (t < best32) { best32 = t; steal32 = st }
+          }
           compNames.foreach { n =>
             if (round == 1) component(s, n)
             val ct = timed(component(s, n))
@@ -182,7 +210,8 @@ object Bench {
     val scaling =
       f"""{"rows":$scaleRows,"cores8_sec":$t8%.2f,"cores32_sec":$t32%.2f,""" +
       f""""rows_per_sec_8":${thr8.toLong},"rows_per_sec_32":${thr32.toLong},""" +
-      f""""efficiency":$eff%.3f,"storage_rows_per_sec_32":$storageThr,""" +
+      f""""efficiency":$eff%.3f,"steal8_pct":$steal8%.1f,"steal32_pct":$steal32%.1f,""" +
+      f""""storage_rows_per_sec_32":$storageThr,""" +
       f""""components":$compJson}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
@@ -205,12 +234,16 @@ object Bench {
            |levels interleaved over ${sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3")} rounds, min per level (host noise is
            |bursty; see ARCHITECTURE.md "Scaling evidence protocol").
            |
-           || cores | wall (s) | throughput (seq/s) |
-           ||---|---|---|
-           || 8  | $t8%.2f | ${thr8.toLong}%,d |
-           || 32 | $t32%.2f | ${thr32.toLong}%,d |
+           || cores | wall (s) | throughput (seq/s) | hypervisor steal during rep |
+           ||---|---|---|---|
+           || 8  | $t8%.2f | ${thr8.toLong}%,d | $steal8%.1f%% |
+           || 32 | $t32%.2f | ${thr32.toLong}%,d | $steal32%.1f%% |
            |
            |Scaling efficiency (8 -> 32 cores = N -> 4N): **$eff%.3f** (target >= 0.8).
+           |Steal is /proc/stat col 8 sampled around the chosen (min-wall) rep:
+           |co-tenant CPU hits a 32-thread run ~4x harder than an 8-thread run,
+           |so measured efficiency varies with the window (0.49-0.67 observed for
+           |identical code); the steal columns record the window quality.
            |
            |## Per-component attribution ($headlineRows%,d rows, same protocol)
            |

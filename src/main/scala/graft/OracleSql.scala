@@ -219,6 +219,22 @@ object OracleSql {
       |       CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1
       |FROM t""".stripMargin,
 
+    "custom_validator" -> """SELECT doc_id, constraint_id FROM (
+      |  SELECT doc_id, 'custom_spark_spam' AS constraint_id FROM documents
+      |    WHERE len(regexp_extract_all(text, '\bspark\b')) > 5
+      |  UNION ALL
+      |  SELECT doc_id, 'custom_short_mod7' FROM documents
+      |    WHERE doc_id % 7 = 0 AND length(text) < 200
+      |) v ORDER BY constraint_id, doc_id""".stripMargin,
+
+    "q_cube" -> """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
     "hist_udaf" -> s"""WITH $Base
       |SELECT source, CAST(floor(n_tok0 / 32.0) AS BIGINT) AS bucket,
       |       CAST(count(*) AS BIGINT) AS cnt

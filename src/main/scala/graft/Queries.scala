@@ -231,6 +231,21 @@ object Queries {
       clean(s, dir).withColumn("epoch", pmod(col("orig"), lit(2L))),
       "n_tok", "epoch", 32L)
 
+  /** User-registered custom validators (R23 — pyschema custom Field
+    * subclasses): named pure-Column predicates, including a cross-field
+    * business rule, compiled into the same violation sink as built-ins.
+    * Previously unit-only; this row makes the escape hatch oracle-checked.
+    */
+  def customValidator(s: SparkSession, dir: String): DataFrame = {
+    val cs = Seq(
+      CustomRow("custom_spark_spam",
+        regexp_count(col("text"), lit("\\bspark\\b")) > 5),
+      CustomRow("custom_short_mod7",
+        pmod(col("doc_id"), lit(7L)) === 0L && length(col("text")) < 200))
+    ConstraintCompiler.violations(docs(s, dir), cs, Seq("doc_id"))
+      .orderBy(col("constraint_id"), col("doc_id"))
+  }
+
   /** Per-source n_tok histogram through the custom typed Aggregator
     * (graft.stats.HistogramAgg — bounded Array[Long] buffers merged
     * map-side, the Dataset-native treeAggregate). Exploded to rows so the
@@ -493,6 +508,20 @@ object Queries {
         col("doc_b").cast("long").as("doc_b"), col("cos"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** CUBE over order dimensions (grouping-sets breadth — SURVEY §2.2
+    * grouping row; partition_summary covers ROLLUP): all four grouping-set
+    * combinations with grouping flags disambiguating aggregate NULLs.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+        count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+      .orderBy(col("g_status"), col("g_prio"), col("o_orderstatus"), col("o_orderpriority"))
 
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)

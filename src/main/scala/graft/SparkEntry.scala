@@ -38,6 +38,7 @@ object SparkEntry {
     "drift_stats" -> (Queries.driftStats _),
     "drift_gate" -> (Queries.driftGate _),
     "hist_udaf" -> (Queries.histUdaf _),
+    "custom_validator" -> (Queries.customValidator _),
     "events_drift" -> (Queries.eventsDrift _),
     "json_roundtrip" -> (Queries.jsonRoundtrip _),
     "avro_roundtrip" -> (Queries.avroRoundtrip _),
@@ -51,6 +52,7 @@ object SparkEntry {
     "q_window" -> (Queries.qWindow _),
     "q_setops" -> (Queries.qSetOps _),
     "q_map_ops" -> (Queries.qMapOps _),
+    "q_cube" -> (Queries.qCube _),
     // training-data pipeline operators
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_exemplars" -> (Queries.dedupExemplars _),
