@@ -109,10 +109,16 @@ final case class IncrementalRunner(
     io.write(ckptRows, checkpointPath, mode = "append")
 
     // an all-clean run leaves a footer-less empty sink that parquet can't
-    // infer a schema from — that's 0 violations, not an error
-    val v = scala.util.Try(
-      io.read(violationsPath).filter(col(partitionCol).isin(remaining: _*)).count()
-    ).getOrElse(0L)
+    // infer a schema from — that's 0 violations, not an error; any OTHER
+    // read failure (corrupt files, bad path, permissions) must surface, not
+    // masquerade as a clean result
+    val v =
+      try io.read(violationsPath).filter(col(partitionCol).isin(remaining: _*)).count()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+               e.getMessage.contains("PATH_NOT_FOUND") => 0L
+      }
     RunResult(remaining, v)
   }
 }

@@ -74,20 +74,8 @@ object ScalingProbe {
         graft.unique.SaltedUniqueness.duplicates(input(s), "doc_id").count()
       },
       "unique2" -> { s: SparkSession =>
-        // hash-compaction variant: salted agg over xxhash64(key) (8-byte
-        // fixed-width keys → codegen fast map, ~3x denser shuffle), exact
-        // verify of candidate hashes on a second pass
-        val df = input(s)
-        val key = "doc_id"
-        val dupH = df.filter(col(key).isNotNull)
-          .select(xxhash64(col(key)).as("_h"))
-          .groupBy(col("_h"), spark_partition_id().as("_salt")).agg(count(lit(1)).as("_c"))
-          .groupBy(col("_h")).agg(sum(col("_c")).as("cnt")).filter(col("cnt") > 1)
-          .select("_h")
-        df.filter(col(key).isNotNull)
-          .join(broadcast(dupH), xxhash64(col(key)) === col("_h"), "left_semi")
-          .groupBy(col(key)).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
-          .count()
+        // hash-compaction variant (see SaltedUniqueness.duplicatesHashCompacted)
+        graft.unique.SaltedUniqueness.duplicatesHashCompacted(input(s), "doc_id").count()
       },
       "ref" -> { s: SparkSession =>
         graft.ref.ReferentialCheck.orphans(input(s), "source", dim(s), "source").count()
