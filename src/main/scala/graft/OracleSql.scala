@@ -317,6 +317,12 @@ object OracleSql {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "q_join_large" -> """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_topk" -> """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(20,2)) AS price
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 

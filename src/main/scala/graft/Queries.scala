@@ -387,6 +387,19 @@ object Queries {
         sum(cents(col("o_totalprice"))).as("total_c"))
       .orderBy(col("c_mktsegment"))
 
+  /** Large-large equi-join (SURVEY §2.2 hash/SMJ row): neither side is
+    * broadcastable at scale, so Catalyst shuffles both on the join key and
+    * picks SMJ / shuffled-hash (AQE decides from runtime sizes) — the
+    * category q_join_agg's broadcast deliberately avoids.
+    */
+  def qJoinLarge(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice"))).as("rev_c"))
+      .orderBy(col("o_orderstatus"))
+
   def qTopK(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)

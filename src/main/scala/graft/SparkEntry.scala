@@ -48,6 +48,7 @@ object SparkEntry {
     "q1_agg" -> (Queries.q1Agg _),
     "q_filter_pushdown" -> (Queries.qFilterPushdown _),
     "q_join_agg" -> (Queries.qJoinAgg _),
+    "q_join_large" -> (Queries.qJoinLarge _),
     "q_topk" -> (Queries.qTopK _),
     "q_window" -> (Queries.qWindow _),
     "q_setops" -> (Queries.qSetOps _),
