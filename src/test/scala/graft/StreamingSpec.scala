@@ -54,6 +54,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful streaming drift matches the batch gate after the last micro-batch") {
+    import graft.constraint.Drift
+    import graft.streaming.StreamingDrift
+    implicit val sqlCtx = spark.sqlContext
+    val d = Drift("v", "epoch", 10L, ksThreshold = 0.3)
+    // two groups: g1's epochs share a distribution (no drift), g2's epoch 1
+    // is shifted far right (drifts); delivered across TWO micro-batches so
+    // the keyed state must accumulate, not recompute per batch
+    val batch1 = Seq(("g1", 0, 5), ("g1", 1, 7), ("g1", 0, 15), ("g1", 1, 13),
+      ("g2", 0, 5), ("g2", 0, 8))
+    val batch2 = Seq(("g1", 0, 25), ("g1", 1, 27),
+      ("g2", 0, 12), ("g2", 1, 71), ("g2", 1, 85), ("g2", 1, 92))
+    val mem = MemoryStream[(String, Int, Int)]
+    val stream = mem.toDF().toDF("g", "epoch", "v")
+    val q = StreamingDrift.driftByGroup(stream, d, "g")
+      .writeStream.format("memory").queryName("driftv").outputMode("update").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // last verdict per group (update mode appends one row per touched batch)
+      val fin = spark.table("driftv").collect()
+        .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))))
+        .groupBy(_._1).map { case (g, rows) => g -> rows.last._2 }
+      assert(fin("g2")._5, s"g2 should drift: ${fin("g2")}")
+      assert(!fin("g1")._5, s"g1 should not drift: ${fin("g1")}")
+      // cross-check: identical statistics to the batch DriftGate over the
+      // union of all delivered data
+      val all = (batch1 ++ batch2).toDF("g", "epoch", "v")
+      val batchStats = graft.drift.DriftGate.groupedStats(all, d, Seq("g"))
+        .collect().map(r => (r.getString(0),
+          (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+      Seq("g1", "g2").foreach { g =>
+        val (ks, chi2, n0, n1, _) = fin(g)
+        assert((ks, chi2, n0, n1) === batchStats(g), s"group $g")
+      }
+    } finally q.stop()
+  }
+
   test("windowed uniqueness flags duplicate keys within the window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
