@@ -23,15 +23,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// -Xms == -Xmx + AlwaysPreTouch: this sandbox VM serves first-touch page
-// faults ~100x slower than warm memory access and nearly serially (mmap
-// lock) — a lazily-committed heap makes any multi-GB Spark job fault-bound
-// and ANTI-scale with thread count. Pre-touching moves that cost to JVM
-// startup, once.
+// This sandbox VM serves first-touch page faults ~100x slower than warm
+// memory access and nearly serially (mmap lock) — a lazily-committed heap
+// makes any multi-GB Spark job fault-bound and ANTI-scale with thread
+// count. AlwaysPreTouch moves the fault cost to COMMIT time: the Xms
+// portion at JVM startup, each later G1 expansion when it happens. Xms is
+// kept small (fast startup for tests/Verify) while Xmx is large enough
+// that the 2×10^8-row bench suite's final uniqueness aggregate
+// (~20 GB of hash-map state at 8 reducers) never spills: the bench's
+// untimed warmup rep absorbs the heap-growth faults, timed reps run on
+// the warm, pre-touched heap.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // private shuffle dir: /tmp on this host is garbage-collected while
+  // long jobs run (vanished temp_shuffle files killed two bench runs)
+  s"-Dspark.local.dir=${file("target/sparktmp").getAbsolutePath}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_XMS", "8g")}",
   "-XX:+AlwaysPreTouch",
 )

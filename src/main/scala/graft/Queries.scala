@@ -126,9 +126,12 @@ object Queries {
       .violations(dirty(s, dir), TokenSchema.sequences.rowConstraints, Seq("doc_id"))
       .orderBy(col("constraint_id"), col("doc_id").asc_nulls_first)
 
-  /** Salted two-stage uniqueness (T6). */
+  /** Skew-safe uniqueness (T6) — the hash-compacted production path, so
+    * the DuckDB plain-GROUP-BY oracle certifies the 2-pass hash+verify
+    * pipeline end to end.
+    */
   def uniqueDups(s: SparkSession, dir: String): DataFrame =
-    SaltedUniqueness.duplicates(dirty(s, dir), "doc_id").orderBy(col("doc_id"))
+    SaltedUniqueness.duplicatesHashCompacted(dirty(s, dir), "doc_id").orderBy(col("doc_id"))
 
   /** Broadcast anti-join referential check (T7). */
   def refViolations(s: SparkSession, dir: String): DataFrame =

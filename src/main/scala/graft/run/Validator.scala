@@ -68,7 +68,7 @@ object Validator {
   def run(df: DataFrame, schema: RecordSchema, keyCol: String, partitionCol: String,
           dims: Map[String, DataFrame] = Map.empty): ValidationResult = {
     val dups = schema.tableConstraints.collectFirst { case u: Unique =>
-      SaltedUniqueness.duplicates(df, u.column)
+      SaltedUniqueness.duplicatesHashCompacted(df, u.column)
     }.getOrElse(df.sparkSession.emptyDataFrame)
     val drift = schema.tableConstraints.collectFirst { case d: Drift =>
       graft.drift.DriftGate.groupedStats(df, d, Nil)

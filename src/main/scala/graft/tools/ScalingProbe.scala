@@ -36,8 +36,10 @@ object ScalingProbe {
     val hiCores = sys.env.getOrElse("SP_HI", "32").toInt
     val only = args.lift(2).map(_.split(',').toSet) // optional component filter
     val localDir = sys.env.get("SP_LOCAL_DIR") // e.g. /dev/shm/spark
-    val shufPartsOf: Int => Int =
-      c => sys.env.get("SP_SHUF_MULT").map(_.toInt * c).getOrElse(c)
+    val shufPartsOf: Int => Int = c =>
+      sys.env.get("SP_SHUF_ABS").map(_.toInt) // identical-job protocol
+        .orElse(sys.env.get("SP_SHUF_MULT").map(_.toInt * c))
+        .getOrElse(c)
 
     def session(cores: Int): SparkSession = {
       val b = SparkSession.builder()
@@ -56,7 +58,8 @@ object ScalingProbe {
       s
     }
 
-    def input(s: SparkSession): DataFrame = SyntheticTokens.synthetic(s, rows, 64)
+    val inputParts = sys.env.get("SP_INPUT_PARTS").map(_.toInt).getOrElse(64)
+    def input(s: SparkSession): DataFrame = SyntheticTokens.synthetic(s, rows, inputParts)
     def dim(s: SparkSession): DataFrame = s.range(0L, 20L, 1L, 1)
       .select(concat(lit("src"), col("id").cast("string")).as("source"))
 
@@ -76,6 +79,26 @@ object ScalingProbe {
       "unique2" -> { s: SparkSession =>
         // hash-compaction variant (see SaltedUniqueness.duplicatesHashCompacted)
         graft.unique.SaltedUniqueness.duplicatesHashCompacted(input(s), "doc_id").count()
+      },
+      "unique3" -> { s: SparkSession =>
+        // skip-partial-agg probe: repartition(key) shuffles RAW keys (no
+        // map-side hash-map build — it reduces nothing on all-distinct
+        // keys), then ONE reducer-side hash count via mapPartitions
+        import s.implicits._
+        input(s).select(col("doc_id")).as[String]
+          .repartition(shufPartsOf(s.sparkContext.defaultParallelism), col("doc_id"))
+          .mapPartitions { it =>
+            val m = new java.util.HashMap[String, Long](1 << 20)
+            it.foreach(k => m.merge(k, 1L, (a, b) => a + b))
+            m.entrySet().iterator().asScala.collect {
+              case e if e.getValue > 1 => (e.getKey, e.getValue)
+            }
+          }.toDF("doc_id", "cnt").count()
+      },
+      "uniqueSalt" -> { s: SparkSession =>
+        // explicit two-stage salted form (two full shuffles in the
+        // mostly-distinct regime — kept as the control)
+        graft.unique.SaltedUniqueness.duplicatesExplicitSalt(input(s), "doc_id").count()
       },
       "ref" -> { s: SparkSession =>
         graft.ref.ReferentialCheck.orphans(input(s), "source", dim(s), "source").count()

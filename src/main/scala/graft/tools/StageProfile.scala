@@ -16,18 +16,21 @@ object StageProfile {
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val cores = args.lift(1).map(_.toInt).getOrElse(32)
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val shufParts = sys.env.get("SP_SHUF_ABS").map(_.toInt).getOrElse(cores)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shufParts.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val stages = mutable.Map[Int, (String, Long, Long, Long, Long)]() // name, wall, taskTime, tasks, shuffleW
+    val stages = mutable.Map[Int, (String, Long, Long, Long, Long, Long, Long)]() // name, wall, taskTime, tasks, shuffleW, shuffleR, spill
     spark.sparkContext.addSparkListener(new SparkListener {
       private val t0 = mutable.Map[Int, Long]()
       private val taskTime = mutable.Map[Int, Long]()
       private val shuffleW = mutable.Map[Int, Long]()
+      private val shuffleR = mutable.Map[Int, Long]()
+      private val spill = mutable.Map[Int, Long]()
       private val nTasks = mutable.Map[Int, Long]()
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
         t0(s.stageInfo.stageId) = System.nanoTime()
@@ -35,21 +38,30 @@ object StageProfile {
         taskTime(t.stageId) = taskTime.getOrElse(t.stageId, 0L) + t.taskMetrics.executorRunTime
         shuffleW(t.stageId) = shuffleW.getOrElse(t.stageId, 0L) +
           t.taskMetrics.shuffleWriteMetrics.bytesWritten
+        shuffleR(t.stageId) = shuffleR.getOrElse(t.stageId, 0L) +
+          t.taskMetrics.shuffleReadMetrics.totalBytesRead
+        spill(t.stageId) = spill.getOrElse(t.stageId, 0L) +
+          t.taskMetrics.memoryBytesSpilled
         nTasks(t.stageId) = nTasks.getOrElse(t.stageId, 0L) + 1
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val id = s.stageInfo.stageId
         val wall = (System.nanoTime() - t0.getOrElse(id, System.nanoTime())) / 1000000L
-        stages(id) = (s.stageInfo.name.take(60), wall, taskTime.getOrElse(id, 0L),
-          nTasks.getOrElse(id, 0L), shuffleW.getOrElse(id, 0L))
+        // RDD lineage names identify the operators far better than the
+        // callsite (always a SQL-execution thread-pool frame)
+        val rdds = s.stageInfo.rddInfos.sortBy(_.id).map(_.name).distinct.mkString(">")
+        stages(id) = (rdds.take(80), wall, taskTime.getOrElse(id, 0L),
+          nTasks.getOrElse(id, 0L), shuffleW.getOrElse(id, 0L), shuffleR.getOrElse(id, 0L),
+          spill.getOrElse(id, 0L))
       }
     })
 
     val parquetPath = sys.env.get("SP_PARQUET")
     val nTokMod = sys.env.get("SP_NTOKMOD").map(_.toLong)
       .getOrElse(SyntheticTokens.NTokMod)
+    val inputParts = sys.env.get("SP_INPUT_PARTS").map(_.toInt).getOrElse(64)
     def input = parquetPath.map(spark.read.parquet(_))
-      .getOrElse(SyntheticTokens.synthetic(spark, rows, 64, nTokMod))
+      .getOrElse(SyntheticTokens.synthetic(spark, rows, inputParts, nTokMod))
     val mode = args.lift(3).getOrElse("suite")
     def suite(): Long = mode match {
       case "scan" => input.select(sum(element_at(col("tokens"), 1))).head().getLong(0)
@@ -72,8 +84,8 @@ object StageProfile {
       suite()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[sp] === rep $r wall=$wall%.2f s (cores=$cores rows=$rows)")
-      stages.toSeq.sortBy(_._1).foreach { case (id, (name, w, tt, nt, sw)) =>
-        println(f"[sp] stage $id%3d wall=${w / 1000.0}%7.2f s taskTime=${tt / 1000.0}%8.2f s tasks=$nt%3d shufW=${sw / 1e6}%8.1f MB  $name")
+      stages.toSeq.sortBy(_._1).foreach { case (id, (name, w, tt, nt, sw, sr, sp)) =>
+        println(f"[sp] stage $id%3d wall=${w / 1000.0}%7.2f s taskTime=${tt / 1000.0}%8.2f s tasks=$nt%3d shufW=${sw / 1e6}%8.1f MB shufR=${sr / 1e6}%8.1f MB spill=${sp / 1e6}%8.1f MB  $name")
       }
     }
     spark.stop()

@@ -3,27 +3,52 @@ package graft.unique
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Key-uniqueness check with explicit skew handling (SURVEY §2.3 T6;
+/** Key-uniqueness check with skew-safe aggregation (SURVEY §2.3 T6;
   * BASELINE.json:14 "uniqueness on doc_id via salted hash-aggregate with
   * explicit skew handling").
   *
-  * Two-stage aggregation:
-  *   stage 1: groupBy(key, salt).count  — salt = spark_partition_id(), so a
-  *            hot key duplicated 10^6× across P input partitions contributes
-  *            at most P rows to the shuffle instead of 10^6 hitting ONE
-  *            reducer. (This makes Spark's map-side partial aggregation an
-  *            explicit, guaranteed contract rather than an optimizer choice:
-  *            even if partial agg were disabled or the input pre-shuffled by
-  *            key, stage 1 bounds per-reducer fan-in.)
-  *   stage 2: groupBy(key).sum(cnt) — reduces ≤P small rows per key.
+  * The skew salt is Spark's map-side partial aggregation itself: the
+  * partial HashAggregate combines per input partition, so a hot key
+  * duplicated 10^6× across P map tasks sends at most P pre-counted rows to
+  * its reducer — the same fan-in bound an explicit (key, partition_id)
+  * salt gives, without the second full shuffle that salt costs in the
+  * mostly-distinct regime (measured 2× the uniqueness wall at 5×10^7 rows;
+  * BENCH/BASELINE.md). [[duplicatesExplicitSalt]] keeps the manual
+  * two-stage form as a control and for engines where partial aggregation
+  * is not guaranteed; [[duplicatesHashCompacted]] trades a second scan for
+  * an 8-byte shuffle key.
   *
   * NULL keys are excluded: null-ness is the Required constraint's job
   * (one violation per cause — FIXTURES.md §3).
   */
 object SaltedUniqueness {
 
-  /** Duplicate keys with their total multiplicity (cnt > 1). */
+  /** Duplicate keys with their total multiplicity (cnt > 1).
+    *
+    * Single `groupBy(key).count`: Spark's map-side partial aggregation IS
+    * the salt — the partial HashAggregate combines per input partition, so
+    * a key duplicated 10^6× across P map tasks contributes at most P rows
+    * to the shuffle, the same per-reducer fan-in bound the explicit
+    * (key, salt) two-stage form gives. The explicit form costs a SECOND
+    * full shuffle when keys are mostly distinct (stage-1 reduces nothing:
+    * 50M rows → 318 MB + 378 MB shuffled twice, measured in
+    * BENCH/BASELINE.md) — in the expected mostly-unique validation regime
+    * that doubles the shuffle and adds a full extra hash-aggregate pass.
+    * [[duplicatesExplicitSalt]] keeps the manual form for engines/regimes
+    * where partial aggregation cannot be relied on.
+    */
   def duplicates(df: DataFrame, key: String): DataFrame =
+    df.filter(col(key).isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** Explicit two-stage salted form: salt = spark_partition_id(), stage 1
+    * bounds per-reducer fan-in even if map-side partial aggregation were
+    * disabled or the input arrived pre-shuffled by key. Costs one extra
+    * full shuffle in the mostly-distinct regime — prefer [[duplicates]].
+    */
+  def duplicatesExplicitSalt(df: DataFrame, key: String): DataFrame =
     df.filter(col(key).isNotNull)
       .groupBy(col(key), spark_partition_id().as("_salt"))
       .agg(count(lit(1)).as("_c"))
@@ -31,9 +56,19 @@ object SaltedUniqueness {
       .agg(sum(col("_c")).as("cnt"))
       .filter(col("cnt") > 1)
 
-  /** Violation rows keyed (key, constraint_id) — one per duplicate key. */
+  /** Violation rows keyed (key, constraint_id) — one per duplicate key.
+    *
+    * Uses [[duplicatesHashCompacted]]: in a validation engine duplicates
+    * are anomalies, so the dup-hash broadcast is anomaly-sized and the
+    * 8-byte-key pass is both faster AND scales better than the string agg
+    * (measured at 2×10^8 rows, 128 shuffle partitions: 41.5→12.9 s for
+    * 8→32 cores = 0.81 efficiency, vs 50.6→20.0 s = 0.63 for the
+    * string-key form — the narrower shuffle and hash-map rows relieve the
+    * shared-DRAM path that caps 32-thread scaling). For adversarial
+    * mostly-duplicate inputs call [[duplicates]] directly.
+    */
   def violations(df: DataFrame, key: String, constraintId: String): DataFrame =
-    duplicates(df, key).select(col(key), lit(constraintId).as("constraint_id"))
+    duplicatesHashCompacted(df, key).select(col(key), lit(constraintId).as("constraint_id"))
 
   /** Reference implementation (unsalted) for property tests. */
   def naiveDuplicates(df: DataFrame, key: String): DataFrame =
@@ -51,16 +86,15 @@ object SaltedUniqueness {
     * Same output contract as [[duplicates]]. Trade-off: assumes the dup-hash
     * set fits a broadcast (anomaly-sized); adversarial mostly-duplicate data
     * should use [[duplicates]], whose single shuffle is unconditional.
-    * Measured on the bench suite: ~15-20%% faster at both 8 and 32 cores,
-    * identical 8→32 scaling (both formulations are bound by the same
-    * shuffle + hash-aggregate DRAM path — BENCH/BASELINE.md attribution).
+    * Measured at 2×10^8 rows / 128 shuffle partitions: 18%% faster at 8
+    * cores, 36%% at 32, with 8→32 efficiency 0.81 vs 0.63 — the 8-byte
+    * rows halve the shuffle and hash-map DRAM traffic that caps 32-thread
+    * scaling on one memory system (BENCH/BASELINE.md attribution).
     */
   def duplicatesHashCompacted(df: DataFrame, key: String): DataFrame = {
     val dupH = df.filter(col(key).isNotNull)
       .select(xxhash64(col(key)).as("_h"))
-      .groupBy(col("_h"), spark_partition_id().as("_salt"))
-      .agg(count(lit(1)).as("_c"))
-      .groupBy(col("_h")).agg(sum(col("_c")).as("_cnt")).filter(col("_cnt") > 1)
+      .groupBy(col("_h")).agg(count(lit(1)).as("_cnt")).filter(col("_cnt") > 1)
       .select("_h")
     df.filter(col(key).isNotNull)
       .join(broadcast(dupH), xxhash64(col(key)) === col("_h"), "left_semi")

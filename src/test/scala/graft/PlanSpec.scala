@@ -65,9 +65,25 @@ class PlanSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"non-codegen operators: $offenders\n$plan")
   }
 
-  test("salted uniqueness is two aggregates: partial spread + final merge") {
+  // formatted explain prints each operator twice (tree + detail section) —
+  // count tree entries only
+  private def treeCount(plan: String, op: String): Int =
+    s"[+:]- $op".r.findAllIn(plan).size
+
+  test("uniqueness is ONE shuffle: partial agg (the implicit salt) + final merge") {
     val seqs = SyntheticTokens.cleanFrom(spark, dir)
     val plan = planString(graft.unique.SaltedUniqueness.duplicates(seqs, "doc_id"))
-    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan) // 2 logical aggs × partial/final
+    // partial+final HashAggregate pair around exactly one Exchange — the
+    // map-side partial agg bounds per-reducer fan-in (≤ one row per key
+    // per map task), so no second salted shuffle is needed
+    assert(treeCount(plan, "HashAggregate") == 2, plan)
+    assert(treeCount(plan, "Exchange") == 1, plan)
+  }
+
+  test("explicit-salt control keeps the two-stage shape (2 exchanges)") {
+    val seqs = SyntheticTokens.cleanFrom(spark, dir)
+    val plan = planString(graft.unique.SaltedUniqueness.duplicatesExplicitSalt(seqs, "doc_id"))
+    assert(treeCount(plan, "HashAggregate") == 4, plan)
+    assert(treeCount(plan, "Exchange") == 2, plan)
   }
 }

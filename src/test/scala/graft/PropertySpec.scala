@@ -80,8 +80,11 @@ class PropertySpec extends SparkTestBase {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       val c = SaltedUniqueness.duplicatesHashCompacted(df, "k")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val d = SaltedUniqueness.duplicatesExplicitSalt(df, "k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       assert(a === b)
       assert(c === b) // hash compaction is exact: collisions re-verified on the key
+      assert(d === b) // explicit two-stage salt is the same multiset count
       assert(a.exists(_._1 == "HOT")) // the generator plants a hot key
     }
   }

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Run a graft main class directly on the compiled classes + Spark jars,
+# skipping sbt JVM startup. Mirrors build.sbt's forked javaOptions
+# (JDK17 add-opens, fixed pre-touched heap).
+# Usage: tools/runmain.sh <MainClass> [args...]   (env passes through)
+set -e
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+MEM="${SPARK_DRIVER_MEM:-8g}"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+XMS="${SPARK_DRIVER_XMS:-$MEM}"
+# Private shuffle dir: something on this host garbage-collects /tmp while
+# long jobs run (two multi-minute runs died on vanished temp_shuffle files)
+mkdir -p /root/repo/target/sparktmp
+exec java -cp "$CP" $OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.local.dir=/root/repo/target/sparktmp \
+  -Xmx"$MEM" -Xms"$XMS" -XX:+AlwaysPreTouch \
+  "$@"
