@@ -285,8 +285,16 @@ object Bench {
            |Scaling efficiency (8 -> 32 cores = N -> 4N): **$eff%.3f** (target >= 0.8).
            |Steal is /proc/stat col 8 sampled around the chosen (min-wall) rep:
            |co-tenant CPU hits a 32-thread run ~4x harder than an 8-thread run,
-           |so measured efficiency varies with the window (0.49-0.67 observed for
-           |identical code); the steal columns record the window quality.
+           |so measured efficiency varies with the window (0.40-0.68 observed for
+           |identical code across calm windows — the 32-core wall has a hard
+           |~48 s floor at 2e8 rows that tracks the shared-DRAM streaming
+           |control, while the 8-core wall keeps improving with cache-level
+           |tuning); the steal columns record the window quality. The
+           |bracketing controls (pure-CPU register loop 0.87,
+           |streaming-memory loop 0.37 — both ARCHITECTURE.md) and the
+           |per-component table below locate the residual in per-node
+           |memory bandwidth, a resource a real N->4N executor scale-up
+           |multiplies by 4.
            |
            |## Per-component attribution ($headlineRows%,d rows, same protocol)
            |
