@@ -149,7 +149,7 @@ object Bench {
     val comp = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
     val compNames = Seq("gen", "rowpass", "unique", "ref", "drift")
     if (!skipScaling) {
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
       def dim(s: SparkSession): DataFrame = s.range(0L, 20L, 1L, 1)
         .select(concat(lit("src"), col("id").cast("string")).as("source"))
       def suite(s: SparkSession, rows: Long): Long =
@@ -255,9 +255,10 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
 
-    // human-readable record — only from a FULL run (a scaling-skipped debug
-    // run would overwrite the recorded numbers with zeros)
-    if (!skipScaling && !skipQueries) try {
+    // human-readable record — only from a FULL protocol-size run (a
+    // scaling-skipped or small-scale debug run would overwrite the
+    // recorded numbers with zeros/noise)
+    if (!skipScaling && !skipQueries && scaleRows >= 50000000L) try {
       val dir = java.nio.file.Paths.get("BENCH")
       java.nio.file.Files.createDirectories(dir)
       val compTable = compNames.map { n =>
@@ -274,7 +275,7 @@ object Bench {
            |scale-up does not reconfigure the job; per-level reducer counts
            |would make per-reducer aggregate-state depth differ 4x between
            |levels, measuring hash-map depth instead of parallelism). Levels
-           |interleaved over ${sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4")} rounds, min per level (host noise is
+           |interleaved over ${sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3")} rounds, min per level (host noise is
            |bursty; see ARCHITECTURE.md "Scaling evidence protocol").
            |
            || cores | wall (s) | throughput (seq/s) | steal during rep | spill |
