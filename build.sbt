@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// BENCH_r02 post-mortem: the driver environment carries SPARK_LOCAL_DIRS,
+// which outranks the -Dspark.local.dir pin below (Spark
+// Utils.getConfiguredLocalDirs precedence) — the r2 bench died on /tmp
+// garbage-collection mid-run because its block manager silently used
+// /tmp/spark-local. Pin the ENV VAR for every forked JVM so no caller
+// environment can route shuffle files back into /tmp.
+run / envVars += ("SPARK_LOCAL_DIRS" -> file("target/sparktmp").getAbsolutePath)
+Test / envVars += ("SPARK_LOCAL_DIRS" -> file("target/sparktmp").getAbsolutePath)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

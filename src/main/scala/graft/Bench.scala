@@ -32,6 +32,18 @@ import graft.run.Validator
   *     gen / rowpass / unique / ref / drift each timed at both levels —
   *     pinpoints WHERE the lost cores go (VERDICT r1 next-round #2).
   *
+  * Survivability (BENCH_r02 died on /tmp GC eating shuffle files, rc=1,
+  * and the round recorded NO numbers — VERDICT r2 #1):
+  *  - every forked JVM now pins SPARK_LOCAL_DIRS to target/sparktmp
+  *    (build.sbt envVars — the env var outranks -Dspark.local.dir, which
+  *    is how the r2 run was routed back into /tmp);
+  *  - sessions run local[N,4]: a lost shuffle file triggers task retry,
+  *    not job death;
+  *  - the materialized-input cache lives under target/, not /tmp;
+  *  - total bench wall-clock is capped (SPARK_GRAFT_BENCH_MAX_SEC) and
+  *    every part is individually fallible — the JSON line prints with
+  *    whatever completed, so a partial failure never zeroes a round.
+  *
   * Also writes the measured numbers + attribution to BENCH/BASELINE.md
   * when the repo is writable (human-readable record of the protocol).
   */
@@ -42,8 +54,11 @@ object Bench {
   private val InputPartitions = 128
 
   private def session(cores: Int, shuffleParts: Option[Int] = None): SparkSession = {
+    // local[N,4]: up to 4 task attempts — a single vanished shuffle file
+    // (this host GCs /tmp; belt+braces on top of the SPARK_LOCAL_DIRS pin)
+    // becomes a FetchFailed retry instead of job death
     val s = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(s"local[$cores,4]")
       .config("spark.sql.shuffle.partitions", shuffleParts.getOrElse(cores).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -56,6 +71,18 @@ object Bench {
       // AQE's choice well above the configured count anyway
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         shuffleParts.isEmpty.toString)
+      // driver == executor in one JVM here, so heartbeats are pure
+      // liveness theater — but G1 heap-EXPANSION pre-touch on this host
+      // (first-touch faults ~100x slow, near-serial) can stall every
+      // thread for minutes, and at the default 120 s timeout the
+      // HeartbeatReceiver then expires the in-process executor: observed
+      // as a cascade of CoarseGrainedScheduler endpoint-not-found errors,
+      // task-pool rejections and a dead bench (this, not /tmp GC, killed
+      // the 09:00 round-3 probe run). preTouchHeap() below removes the
+      // stall source; these timeouts remove the fuse.
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.executor.heartbeat.maxFailures", "600")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -85,6 +112,37 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Expand + touch the heap to ~75% of Xmx BEFORE any SparkSession
+    * exists. build.sbt runs with Xms8g/Xmx48g + AlwaysPreTouch: each later
+    * G1 expansion pre-touches its new regions, and this host serves
+    * first-touch faults ~100x slow and near-serially — inside a running
+    * session that is a multi-minute all-threads stall that trips the
+    * executor-heartbeat fuse (see session()). Done here, the same fault
+    * cost is paid once, up front, with nothing to time and nothing to
+    * keep alive. The ballast is dropped afterwards; G1 keeps the
+    * committed (pre-touched) regions.
+    */
+  private def preTouchHeap(): Unit = {
+    val budget = (Runtime.getRuntime.maxMemory * 0.75).toLong
+    val chunkBytes = 1L << 29 // 512 MB
+    val n = math.max(0, (budget / chunkBytes).toInt)
+    val keep = new Array[Array[Long]](n)
+    var i = 0
+    val t0 = System.nanoTime()
+    try {
+      while (i < n) {
+        val a = new Array[Long]((chunkBytes / 8).toInt)
+        var j = 0
+        while (j < a.length) { a(j) = j; j += 512 } // one write per 4 KB page
+        keep(i) = a
+        i += 1
+      }
+    } catch { case _: OutOfMemoryError => () }
+    java.util.Arrays.fill(keep.asInstanceOf[Array[AnyRef]], null)
+    System.err.println(f"[bench] pre-touched ~${i * chunkBytes >> 30}%d GB of heap " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.0f s")
+  }
+
   /** (total, steal) jiffies from /proc/stat — the hypervisor's record of
     * CPU taken by co-tenants. Sampled around each scaling rep: the levels
     * are hit ASYMMETRICALLY by host noise (a busy co-tenant costs a
@@ -108,6 +166,50 @@ object Bench {
     (w, steal)
   }
 
+  /** Per-rep task-metric aggregate (ADVICE r2: spill evidence must not race
+    * the async listener bus — reads go through [[drain]] first). Captured
+    * for the chosen min-wall rep at each level and emitted in the JSON so
+    * the efficiency ratio's validity conditions (no spill, GC share, CPU
+    * utilization, shuffle volume) are machine-checkable, not prose.
+    */
+  private final class RepMetrics(sc: org.apache.spark.SparkContext) {
+    private val a = Array.fill(6)(new java.util.concurrent.atomic.AtomicLong())
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          a(0).addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          a(1).addAndGet(m.executorRunTime)
+          a(2).addAndGet(m.executorCpuTime / 1000000L) // ns → ms
+          a(3).addAndGet(m.jvmGCTime)
+          a(4).addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          a(5).addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    /** Block until queued listener events are delivered: Scala private[spark]
+      * compiles to public bytecode, so LiveListenerBus.waitUntilEmpty() is
+      * reflectively reachable; bounded-sleep fallback if the API moves.
+      */
+    private def drain(): Unit =
+      try {
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(500) }
+    def reset(): Unit = { drain(); a.foreach(_.set(0L)) }
+    def snapshot(): Snapshot = {
+      drain()
+      Snapshot(a(0).get, a(1).get, a(2).get, a(3).get, a(4).get, a(5).get)
+    }
+  }
+  private final case class Snapshot(spill: Long = 0L, runMs: Long = 0L, cpuMs: Long = 0L,
+      gcMs: Long = 0L, shufRead: Long = 0L, shufWrite: Long = 0L) {
+    def json: String =
+      s"""{"spill_mb":${spill / 1000000},"task_run_s":${runMs / 1000},""" +
+      s""""task_cpu_s":${cpuMs / 1000},"gc_s":${gcMs / 1000},""" +
+      s""""shuffle_read_mb":${shufRead / 1000000},"shuffle_write_mb":${shufWrite / 1000000}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -115,24 +217,36 @@ object Bench {
     val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "200000000").toLong
     val skipScaling = sys.env.get("SPARK_GRAFT_BENCH_SCALING").contains("0")
     val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").contains("0")
+    // hard wall-clock budget for the scaling part (rounds + steal-triggered
+    // extensions + storage rep): when it runs out, STOP adding reps and
+    // report what was measured — a long bench must degrade, never zero the
+    // round (VERDICT r2 #1/#6)
+    val maxSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "2700").toLong
+    val benchStart = System.nanoTime()
+    def elapsedSec: Long = (System.nanoTime() - benchStart) / 1000000000L
+    if (!skipScaling) preTouchHeap() // before ANY session; see Scaladoc
 
-    // part 1: per-operator suite on sfDir
-    val results: Seq[(String, Double)] = if (skipQueries) Nil else {
-      val s1 = session(cpus)
-      // untimed warmup: absorb session JIT/janino/codegen cost so the
-      // alphabetically-first query doesn't eat it (VERDICT r1 #5)
-      try Queries.partitionSummary(s1, sfDir).count()
-      catch { case _: Throwable => () }
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t = timed {
-          try fn(s1, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+    // part 1: per-operator suite on sfDir — individually fallible
+    val results: Seq[(String, Double)] =
+      if (skipQueries) Nil
+      else try {
+        val s1 = session(cpus)
+        // untimed warmup: absorb session JIT/janino/codegen cost so the
+        // alphabetically-first query doesn't eat it (VERDICT r1 #5)
+        try Queries.partitionSummary(s1, sfDir).count()
+        catch { case _: Throwable => () }
+        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t = timed {
+            try fn(s1, sfDir).count()
+            catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+          }
+          name -> t
         }
-        name -> t
+        s1.stop()
+        r
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] query part failed: $e"); Nil
       }
-      s1.stop()
-      r
-    }
 
     // parts 2+3: scaling pair + per-component attribution, identical input
     // splits per level, levels INTERLEAVED over rounds, min per level
@@ -145,10 +259,11 @@ object Bench {
     // cap any core count — a per-executor resource on a real cluster.
     var t8 = 0.0; var t32 = 0.0; var tStorage = 0.0
     var steal8 = 0.0; var steal32 = 0.0
-    var spill8 = 0L; var spill32 = 0L // spill during the chosen min-wall rep
+    var snap8 = Snapshot(); var snap32 = Snapshot() // chosen min-wall rep metrics
+    var roundsRun = 0
     val comp = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
     val compNames = Seq("gen", "rowpass", "unique", "ref", "drift")
-    if (!skipScaling) {
+    if (!skipScaling) try {
       val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
       def dim(s: SparkSession): DataFrame = s.range(0L, 20L, 1L, 1)
         .select(concat(lit("src"), col("id").cast("string")).as("source"))
@@ -183,51 +298,68 @@ object Bench {
           // (25M vs 6.25M keys at 2×10^8 rows) differ between the levels,
           // measuring hash-map depth instead of parallelism.
           val s = session(cores, Some(InputPartitions))
-          // spill accumulator: spill at EITHER level corrupts the ratio
-          // (asymmetric disk I/O), so the chosen rep's bytes are part of
-          // the recorded evidence — expected 0 at both levels
-          val spilled = new java.util.concurrent.atomic.AtomicLong()
-          s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-            override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-              spilled.addAndGet(t.taskMetrics.memoryBytesSpilled)
-          })
+          // per-rep task metrics (spill at EITHER level corrupts the ratio;
+          // CPU/GC/shuffle totals make the validity conditions checkable)
+          val metrics = new RepMetrics(s.sparkContext)
           if (round == 1) suite(s, scaleRows) // untimed JIT/codegen warmup
-          spilled.set(0L)
+          // the gated uniqueness pass persists its dup-hash set and Spark's
+          // CacheManager resolves the SAME canonical plan to the warmup's
+          // cache — without this clear, every timed rep after the first
+          // skips uniqueness stage 1 entirely (observed: 0 MB shuffle)
+          s.catalog.clearCache()
+          metrics.reset()
           val (t, st) = timedWithSteal(suite(s, scaleRows))
+          val snap = metrics.snapshot()
+          // record the running best IMMEDIATELY (t8/t32, not just best8/32):
+          // a later level/round failing must never discard a completed
+          // measurement (partial-result contract)
           if (cores == 8) {
-            if (t < best8) { best8 = t; steal8 = st; spill8 = spilled.get }
+            if (t < best8) { best8 = t; t8 = t; steal8 = st; snap8 = snap }
           } else {
-            if (t < best32) { best32 = t; steal32 = st; spill32 = spilled.get }
+            if (t < best32) { best32 = t; t32 = t; steal32 = st; snap32 = snap }
           }
           compNames.foreach { n =>
             if (round == 1) component(s, n)
+            s.catalog.clearCache() // same cache-reuse trap as the suite rep
             val ct = timed(component(s, n))
             val k = (n, cores)
             comp(k) = math.min(comp.getOrElse(k, Double.MaxValue), ct)
           }
           s.stop()
+          roundsRun = round
         }
-      (1 to rounds).foreach(oneRound)
+      var round = 0
+      while (round < rounds && (round == 0 || elapsedSec < maxSec)) {
+        round += 1; oneRound(round)
+      }
       // adaptive extension: co-tenant steal deflates the 32-thread level
       // specifically (see BENCH/BASELINE.md note); if the best 32-core rep
-      // still saw >1.5% steal, keep sampling — bounded — for a calm window
-      var round = rounds
-      while (steal32 > 1.5 && round < rounds * 3) {
+      // still saw >1.5% steal, keep sampling for a calm window — bounded by
+      // BOTH a round cap and the global wall-clock budget
+      while (steal32 > 1.5 && round < rounds * 3 && elapsedSec < maxSec) {
         round += 1
         System.err.println(f"[bench] best 32-core rep saw $steal32%.1f%% steal — extra round $round")
         oneRound(round)
       }
-      t8 = best8; t32 = best32
 
-      // storage path: same suite reading a materialized parquet table
-      // v2: schema gained the `epoch` drift column — don't reuse a v1 cache
-      val inputPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_INPUT",
-        "/tmp/graft_bench_tokens_v2.parquet")
-      val s = session(32, Some(InputPartitions))
-      if (!new java.io.File(inputPath).exists) writeInput(s, headlineRows, inputPath)
-      fullSuite(s, inputPath) // warm page cache + codegen
-      tStorage = Seq.fill(3)(timed(fullSuite(s, inputPath))).min
-      s.stop()
+      // storage path: same suite reading a materialized parquet table.
+      // Cache lives under target/ — /tmp on this host is GC'd mid-run
+      // (BENCH_r02 rc=1). v2: schema gained the `epoch` drift column.
+      if (elapsedSec < maxSec) {
+        val inputPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_INPUT",
+          new java.io.File("target/bench/graft_bench_tokens_v2.parquet").getAbsolutePath)
+        val s = session(32, Some(InputPartitions))
+        if (!new java.io.File(inputPath).exists) writeInput(s, headlineRows, inputPath)
+        fullSuite(s, inputPath) // warm page cache + codegen
+        tStorage = Seq.fill(3) {
+          s.catalog.clearCache() // same cache-reuse trap as the suite rep
+          timed(fullSuite(s, inputPath))
+        }.min
+        s.stop()
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scaling part failed after $roundsRun round(s): $e")
     }
 
     val thr8 = if (t8 > 0) scaleRows / t8 else 0.0
@@ -249,16 +381,17 @@ object Bench {
       f"""{"rows":$scaleRows,"cores8_sec":$t8%.2f,"cores32_sec":$t32%.2f,""" +
       f""""rows_per_sec_8":${thr8.toLong},"rows_per_sec_32":${thr32.toLong},""" +
       f""""efficiency":$eff%.3f,"steal8_pct":$steal8%.1f,"steal32_pct":$steal32%.1f,""" +
-      f""""spill8_mb":${spill8 / 1000000}%d,"spill32_mb":${spill32 / 1000000}%d,""" +
+      f""""rounds":$roundsRun,"rep8":${snap8.json},"rep32":${snap32.json},""" +
       f""""storage_rows_per_sec_32":$storageThr,""" +
       f""""components":$compJson}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
 
-    // human-readable record — only from a FULL protocol-size run (a
-    // scaling-skipped or small-scale debug run would overwrite the
-    // recorded numbers with zeros/noise)
-    if (!skipScaling && !skipQueries && scaleRows >= 50000000L) try {
+    // human-readable record — only from a FULL protocol-size run (ADVICE
+    // r2: guard at the protocol default 2e8 so a smaller debug run never
+    // clobbers the recorded numbers) and only when the scaling part
+    // actually produced both levels
+    if (!skipScaling && !skipQueries && scaleRows >= 200000000L && t8 > 0 && t32 > 0) try {
       val dir = java.nio.file.Paths.get("BENCH")
       java.nio.file.Files.createDirectories(dir)
       val compTable = compNames.map { n =>
@@ -275,13 +408,13 @@ object Bench {
            |scale-up does not reconfigure the job; per-level reducer counts
            |would make per-reducer aggregate-state depth differ 4x between
            |levels, measuring hash-map depth instead of parallelism). Levels
-           |interleaved over ${sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3")} rounds, min per level (host noise is
+           |interleaved over $roundsRun rounds, min per level (host noise is
            |bursty; see ARCHITECTURE.md "Scaling evidence protocol").
            |
-           || cores | wall (s) | throughput (seq/s) | steal during rep | spill |
-           ||---|---|---|---|---|
-           || 8  | $t8%.2f | ${thr8.toLong}%,d | $steal8%.1f%% | ${spill8 / 1000000}%d MB |
-           || 32 | $t32%.2f | ${thr32.toLong}%,d | $steal32%.1f%% | ${spill32 / 1000000}%d MB |
+           || cores | wall (s) | throughput (seq/s) | steal during rep | spill | task CPU (s) | GC (s) | shuffle R/W (MB) |
+           ||---|---|---|---|---|---|---|---|
+           || 8  | $t8%.2f | ${thr8.toLong}%,d | $steal8%.1f%% | ${snap8.spill / 1000000}%d MB | ${snap8.cpuMs / 1000}%d | ${snap8.gcMs / 1000}%d | ${snap8.shufRead / 1000000}%d/${snap8.shufWrite / 1000000}%d |
+           || 32 | $t32%.2f | ${thr32.toLong}%,d | $steal32%.1f%% | ${snap32.spill / 1000000}%d MB | ${snap32.cpuMs / 1000}%d | ${snap32.gcMs / 1000}%d | ${snap32.shufRead / 1000000}%d/${snap32.shufWrite / 1000000}%d |
            |
            |Scaling efficiency (8 -> 32 cores = N -> 4N): **$eff%.3f** (target >= 0.8).
            |Steal is /proc/stat col 8 sampled around the chosen (min-wall) rep:
@@ -290,9 +423,13 @@ object Bench {
            |identical code across calm windows — the 32-core wall has a hard
            |~48 s floor at 2e8 rows that tracks the shared-DRAM streaming
            |control, while the 8-core wall keeps improving with cache-level
-           |tuning); the steal columns record the window quality. The
-           |bracketing controls (pure-CPU register loop 0.87,
-           |streaming-memory loop 0.37 — both ARCHITECTURE.md) and the
+           |tuning); the steal columns record the window quality. The task
+           |CPU / GC / shuffle columns are the chosen rep's task-metric
+           |totals (listener-bus drained before reading — no race): equal
+           |task-CPU at both levels with a 4x wall gap is the signature of
+           |a shared-memory-bandwidth ceiling, not of extra work appearing
+           |at 32 threads. The bracketing controls (pure-CPU register loop
+           |0.87, streaming-memory loop 0.37 — both ARCHITECTURE.md) and the
            |per-component table below locate the residual in per-node
            |memory bandwidth, a resource a real N->4N executor scale-up
            |multiplies by 4.

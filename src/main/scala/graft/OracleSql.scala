@@ -495,9 +495,12 @@ object OracleSql {
       |       CAST(vec_id AS BIGINT) AS neighbor
       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
-    // Embedding-cosine near-dup: bucket mirror of HyperplaneLsh + exact
-    // cosine (index-ordered fold), rounded BEFORE the threshold filter as
-    // in Dedup.embeddingPairs
+    // Embedding-cosine near-dup: TWO-band bucket mirror of HyperplaneLsh
+    // (band b uses plane indices p+16*b of the same integer plane family)
+    // + exact cosine (index-ordered fold), rounded BEFORE the threshold
+    // filter as in Dedup.embeddingPairs; candidate = collision in EITHER
+    // band, each pair emitted once (the Spark side's cross-band
+    // dropDuplicates)
     "dedup_embedding" -> s"""WITH e AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
@@ -508,15 +511,42 @@ object OracleSql {
       |           list_transform(range(0, len(embedding)),
       |             i -> CAST(embedding[i+1] AS DOUBLE) * ((p*12289 + i*331) % 997 - 498))),
       |           (a, x) -> a + x) > 0 THEN 1 ELSE 0 END)),
-      |    (acc, bb) -> acc*2 + bb) AS bucket
+      |    (acc, bb) -> acc*2 + bb) AS bucket0,
+      |  list_reduce(list_prepend(0, list_transform(range(16, 32), p ->
+      |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(0, len(embedding)),
+      |             i -> CAST(embedding[i+1] AS DOUBLE) * ((p*12289 + i*331) % 997 - 498))),
+      |           (a, x) -> a + x) > 0 THEN 1 ELSE 0 END)),
+      |    (acc, bb) -> acc*2 + bb) AS bucket1
       |  FROM e),
       |p AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
       |        round(${dot("x.embedding", "y.embedding")}
       |          / (sqrt(${dot("x.embedding", "x.embedding")})
       |             * sqrt(${dot("y.embedding", "y.embedding")})), 6) AS cos
-      |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      |      FROM b x JOIN b y
+      |        ON (x.bucket0 = y.bucket0 OR x.bucket1 = y.bucket1)
+      |       AND x.vec_id < y.vec_id)
       |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, cos
       |FROM p WHERE cos >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Transitive dup groups: recursive-CTE reachability over the ALL-PAIRS
+    // exact near-dup ground truth (quadratic by design, like nd_pairs —
+    // sf0.01 gate only); group_id = min reachable id including self
+    "dedup_groups" -> s"""WITH RECURSIVE $NearDupPairs,
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM nd_pairs
+      |  UNION
+      |  SELECT doc_b AS s, doc_a AS d FROM nd_pairs),
+      |reach(s, d) AS (
+      |  SELECT s, d FROM edges
+      |  UNION
+      |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+      |grp AS (
+      |  SELECT s AS doc_id, least(s, min(d)) AS group_id
+      |  FROM reach GROUP BY s)
+      |SELECT CAST(group_id AS BIGINT) AS group_id, CAST(doc_id AS BIGINT) AS doc_id,
+      |       doc_id = group_id AS keep
+      |FROM grp ORDER BY group_id, doc_id""".stripMargin,
 
     "text_tokens" -> """SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
       |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS words,

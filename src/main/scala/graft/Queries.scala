@@ -511,19 +511,33 @@ object Queries {
 
   /** Embedding-cosine near-dup (the fifth dedup flavor): planted exact
     * twins (vec_id%20==0 → +100000, same embedding) must be recalled with
-    * cos=1.0; organic same-bucket pairs are verified exactly. The oracle
-    * mirrors bucketing + cosine in SQL, so recall and scores are
-    * hash-checked.
+    * cos=1.0; organic same-bucket pairs are verified exactly. Runs the
+    * MULTI-BAND path (2 independent hyperplane bands — VERDICT r2 #5's
+    * recall structure); the oracle mirrors both bands' bucketing + cosine
+    * in SQL, so band recall and scores are hash-checked.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     val planted = e.filter(pmod(col("vec_id"), lit(20L)) === 0L)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-    Dedup.embeddingPairs(e.unionByName(planted), "vec_id", "embedding", 0.9)
+    Dedup.embeddingPairs(e.unionByName(planted), "vec_id", "embedding", 0.9, bands = 2)
       .select(col("doc_a").cast("long").as("doc_a"),
         col("doc_b").cast("long").as("doc_b"), col("cos"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Transitive duplicate-group assembly (VERDICT r2 "What's missing" #2):
+    * connected components over the banded near-dup pairs → one
+    * (group_id, doc_id, keep) row per involved doc. The DuckDB oracle
+    * computes reachability with a recursive CTE over the ALL-PAIRS exact
+    * ground truth, so both the pair recall AND the transitive closure are
+    * hash-checked.
+    */
+  def dedupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateGroups(
+      Dedup.minhashLshPairs(nearDupCorpus(s, dir), "text", "doc_id", 0.3),
+      "doc_a", "doc_b")
+      .orderBy(col("group_id"), col("doc_id"))
 
   /** CUBE over order dimensions (grouping-sets breadth — SURVEY §2.2
     * grouping row; partition_summary covers ROLLUP): all four grouping-set

@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
+    "dedup_groups" -> (Queries.dedupGroups _),
     "sim_topk" -> (Queries.simTopK _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
     "text_tokens" -> (Queries.textTokens _),

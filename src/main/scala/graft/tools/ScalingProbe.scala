@@ -124,6 +124,7 @@ object ScalingProbe {
         val s = session(cores)
         components.foreach { case (name, f) =>
           if (round == 1) f(s) // untimed per-level warmup (JIT/codegen)
+          s.catalog.clearCache() // gated uniqueness persists its dup-hash set
           val g0 = gcMillis
           val t0 = System.nanoTime()
           f(s)

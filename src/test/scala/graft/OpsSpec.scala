@@ -87,6 +87,61 @@ class OpsSpec extends SparkTestBase {
     assert((0L until 5L).map(i => (i, i + 2000L)).toSet.subsetOf(exactTwin))
   }
 
+  test("duplicateGroups: transitive closure over pairs, exemplar per component") {
+    // chain 1-2-3-4 (never all-pairs connected), separate pair 10-11,
+    // plus a longer 20..40 chain to exercise path halving over depth
+    val chain = (20L until 40L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)) ++ chain)
+      .toDF("doc_a", "doc_b")
+    val g = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val expected =
+      Seq(1L, 2L, 3L, 4L).map(d => (1L, d, d == 1L)).toSet ++
+      Seq(10L, 11L).map(d => (10L, d, d == 10L)).toSet ++
+      (20L to 40L).map(d => (20L, d, d == 20L)).toSet
+    assert(g === expected)
+  }
+
+  test("duplicateGroups is empty on empty pairs and total on all inputs' ids") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.duplicateGroups(empty, "doc_a", "doc_b").count() === 0)
+  }
+
+  test("embedding dedup: dense cluster stays bounded under the bucket cap " +
+       "and reassembles into one group via chain edges") {
+    // 400 identical embeddings — the adversarial dense cluster: every band
+    // puts all of them in ONE bucket (geometry can't be split by more
+    // planes), so uncapped candidate generation is O(n²)
+    val n = 400
+    val cluster = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 8).map(i => lit((i + 1) * 0.1f)): _*).as("embedding"))
+    val capped = Dedup.embeddingPairs(cluster, "vec_id", "embedding", 0.99,
+      nbits = 8, bands = 2, maxBucket = 10)
+    val pairs = capped.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // chain, not clique: n-1 spanning edges per band, identical across
+    // bands (same bucket membership), deduped to exactly n-1
+    assert(pairs.length === n - 1, s"got ${pairs.length} candidate pairs")
+    // transitive closure over the chain restores the single group
+    val g = Dedup.duplicateGroups(capped, "doc_a", "doc_b")
+    assert(g.select(countDistinct(col("group_id"))).head().getLong(0) === 1L)
+    assert(g.count() === n.toLong)
+    // uncapped control on a smaller slice: all-pairs
+    val small = cluster.filter(col("vec_id") < 20)
+    assert(Dedup.embeddingPairs(small, "vec_id", "embedding", 0.99,
+      nbits = 8, bands = 2).count() === 20L * 19 / 2)
+  }
+
+  test("multi-band embedding dedup recalls at least the single-band pairs") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def pairSet(bands: Int) =
+      Dedup.embeddingPairs(e, "vec_id", "embedding", 0.5, bands = bands)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val one = pairSet(1)
+    val two = pairSet(2)
+    assert(one.subsetOf(two), s"band-0 pairs lost: ${one -- two}")
+  }
+
   test("brute-force kNN: rank-1 neighbor of a duplicated vector is its twin") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     // plant an exact copy of vec 0 with id 9999
