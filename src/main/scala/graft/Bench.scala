@@ -112,18 +112,20 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** Expand + touch the heap to ~75% of Xmx BEFORE any SparkSession
-    * exists. build.sbt runs with Xms8g/Xmx48g + AlwaysPreTouch: each later
-    * G1 expansion pre-touches its new regions, and this host serves
-    * first-touch faults ~100x slow and near-serially — inside a running
-    * session that is a multi-minute all-threads stall that trips the
-    * executor-heartbeat fuse (see session()). Done here, the same fault
-    * cost is paid once, up front, with nothing to time and nothing to
-    * keep alive. The ballast is dropped afterwards; G1 keeps the
-    * committed (pre-touched) regions.
+  /** Optionally expand + touch GBs of heap BEFORE any SparkSession exists
+    * (SPARK_GRAFT_PRETOUCH_GB; default off). build.sbt runs with
+    * Xms8g/Xmx48g + AlwaysPreTouch: each later G1 expansion pre-touches
+    * its new regions, and this host serves first-touch faults ~100x slow
+    * and near-serially — inside a running session that can stall every
+    * thread past the executor-heartbeat fuse (see session(), which
+    * relaxes the timeouts — the load-bearing fix). Pre-touching up front
+    * trades that risk for a deterministic startup cost, but the measured
+    * fault rate here is ~50 MB/s (36 GB ≈ 12 min), too slow to be the
+    * default inside a capped bench budget; the untimed per-level warmup
+    * rep absorbs expansion in practice.
     */
-  private def preTouchHeap(): Unit = {
-    val budget = (Runtime.getRuntime.maxMemory * 0.75).toLong
+  private def preTouchHeap(gb: Long): Unit = {
+    val budget = math.min(gb << 30, (Runtime.getRuntime.maxMemory * 0.75).toLong)
     val chunkBytes = 1L << 29 // 512 MB
     val n = math.max(0, (budget / chunkBytes).toInt)
     val keep = new Array[Array[Long]](n)
@@ -224,7 +226,8 @@ object Bench {
     val maxSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "2700").toLong
     val benchStart = System.nanoTime()
     def elapsedSec: Long = (System.nanoTime() - benchStart) / 1000000000L
-    if (!skipScaling) preTouchHeap() // before ANY session; see Scaladoc
+    val preTouchGb = sys.env.getOrElse("SPARK_GRAFT_PRETOUCH_GB", "0").toLong
+    if (!skipScaling && preTouchGb > 0) preTouchHeap(preTouchGb) // see Scaladoc
 
     // part 1: per-operator suite on sfDir — individually fallible
     val results: Seq[(String, Double)] =
