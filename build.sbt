@@ -44,6 +44,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // producer/consumer fusion of generated-array checks (graft.plans)
+  "-Dspark.sql.extensions=graft.plans.GraftExtensions",
   // private shuffle dir: /tmp on this host is garbage-collected while
   // long jobs run (vanished temp_shuffle files killed two bench runs)
   s"-Dspark.local.dir=${file("target/sparktmp").getAbsolutePath}",

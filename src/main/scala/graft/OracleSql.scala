@@ -548,6 +548,33 @@ object OracleSql {
       |       doc_id = group_id AS keep
       |FROM grp ORDER BY group_id, doc_id""".stripMargin,
 
+    "sample_stratified" -> """WITH rates(key, permille) AS (VALUES ('en', 250), ('zh', 500))
+      |SELECT d.doc_id, d.lang, d.source,
+      |       ((d.doc_id % 1000003) * 2654435761 + 12345) % 1000 AS bucket
+      |FROM documents d LEFT JOIN rates r ON d.lang = r.key
+      |WHERE ((d.doc_id % 1000003) * 2654435761 + 12345) % 1000
+      |      < COALESCE(r.permille, 1000)
+      |ORDER BY d.doc_id""".stripMargin,
+
+    "seq_pack" -> """WITH t AS (
+      |  SELECT doc_id, source, doc_id % 4 AS shard,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS tok
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, shard, tok,
+      |    CAST(COALESCE(SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+      |  FROM t)
+      |SELECT doc_id, source, shard, tok,
+      |  CAST(floor(prev / 128.0) AS BIGINT) AS bin_id, prev % 128 AS bin_offset
+      |FROM p ORDER BY source, shard, doc_id""".stripMargin,
+
+    "tok_topfreq" -> """SELECT token, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents)
+      |WHERE token <> '' GROUP BY token
+      |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
     "text_tokens" -> """SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
       |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS words,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens_bpe

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ckpt.Checkpoint
 import graft.compile.{ConstraintCompiler, Defaults}
+import graft.curate.Curation
 import graft.constraint._
 import graft.dedup.Dedup
 import graft.drift.DriftCheck
@@ -576,6 +577,39 @@ object Queries {
       "vec_id", "embedding", 5)
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Stratified deterministic downsampling (curation mix): per-lang
+    * permille rates broadcast-joined onto documents; rows kept by a pure
+    * modular sampling hash of doc_id, so the sample is stable across
+    * re-runs/resumes and both engines. en capped at 25%, zh at 50%, other
+    * langs keep the 100% default (exercises the missing-key path).
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", 250L), ("zh", 500L)).toDF("key", "permille")
+    Curation.sampleStratified(docs(s, dir), "doc_id", "lang", rates)
+      .select(col("doc_id"), col("lang"), col("source"),
+        Curation.sampleBucket(col("doc_id")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing into 128-token context bins, sharded by
+    * (source, doc_id%4) so no window partition outgrows a reducer at scale
+    * (Curation.packSequences Scaladoc).
+    */
+  def seqPack(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(4L)).as("shard"),
+        TextAnalysis.bpeTokenCount(col("text")).as("tok")),
+      "doc_id", "tok", Seq(col("source"), col("shard")), 128L)
+      .orderBy(col("source"), col("shard"), col("doc_id"))
+
+  /** Corpus token frequency, top-20 (wordcount shape: explode → partial
+    * agg → one shuffle → TakeOrdered).
+    */
+  def tokTopFreq(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenTopK(docs(s, dir), "text", 20)
 
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

@@ -64,6 +64,9 @@ object SparkEntry {
     "dedup_groups" -> (Queries.dedupGroups _),
     "sim_topk" -> (Queries.simTopK _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
+    "sample_stratified" -> (Queries.sampleStratified _),
+    "seq_pack" -> (Queries.seqPack _),
+    "tok_topfreq" -> (Queries.tokTopFreq _),
     "text_tokens" -> (Queries.textTokens _),
     "text_quality" -> (Queries.textQuality _),
     "text_lang_id" -> (Queries.textLangId _),

@@ -32,12 +32,16 @@ object Checkpoint {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Latest status per partition (monotonic `seq` breaks ties — wall clock
-    * is banned for determinism; callers pass a run counter).
+    * is banned for determinism; callers pass a run counter). `max` over a
+    * (seq, status) struct orders lexicographically, so it IS max-by-seq —
+    * and unlike `max_by` it hash-aggregates (max_by plans SortAggregate)
+    * and breaks seq ties deterministically by status.
     */
   def latest(ckpt: DataFrame): DataFrame =
     ckpt.groupBy(col("partition_key"))
-      .agg(max_by(col("status"), col("seq")).as("status"),
-           max(col("seq")).as("seq"))
+      .agg(max(struct(col("seq"), col("status"))).as("_m"))
+      .select(col("partition_key"), col("_m.status").as("status"),
+        col("_m.seq").as("seq"))
 
   /** Partitions still to process: all — latest(done). */
   def remaining(partitions: DataFrame, partitionKeyCol: String, ckpt: DataFrame): DataFrame = {

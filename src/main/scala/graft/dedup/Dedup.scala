@@ -280,21 +280,33 @@ object Dedup {
     */
   def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String,
                       maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Both edge orientations from ONE scan of the pair pipeline (a union of
+    // two selects would run the upstream LSH pipeline twice to materialize
+    // the persist — measured ~2x the whole pair-generation cost).
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labelType = pairs.schema(aCol).dataType
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      // each node takes the min of its own and its neighbors' labels
+      // each node takes the min of its own and its neighbors' labels; the
+      // node's PREVIOUS label rides through the aggregate (`_old` is
+      // non-null exactly once per id — the labels branch), so convergence
+      // below is a column predicate over the checkpointed frame, not a
+      // second join job per round.
       val nbr = edges.join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .select(col("src").as("id"), col("label"))
-      val merged = labels.unionByName(nbr)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      val merged = labels.select(col("id"), col("label"), col("label").as("_old"))
+        .unionByName(nbr.withColumn("_old", lit(null).cast(labelType)))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("_old")).as("_old"))
       // path halving: follow the label pointer one hop (label's label) —
       // contracts chains geometrically. A label is always a member id, so
       // the lookup join is total; left+coalesce guards the identity case.
@@ -302,12 +314,12 @@ object Dedup {
       val next = merged
         .join(merged.select(col("id").as("_lid"), col("label").as("_llab")),
           col("label") === col("_lid"), "left")
-        .select(col("id"), coalesce(col("_llab"), col("label")).as("label"))
+        .select(col("id"), coalesce(col("_llab"), col("label")).as("label"),
+          (coalesce(col("_llab"), col("label")) =!= col("_old")).as("_chg"))
         .localCheckpoint(true)
-      converged = next.join(labels.select(col("id"), col("label").as("_old")), Seq("id"))
-        .filter(col("label") =!= col("_old")).isEmpty
-      labels.unpersist(blocking = false)
-      labels = next
+      // limit-1 scan of the just-materialized blocks — no join, no shuffle
+      converged = next.filter(col("_chg")).isEmpty
+      labels = next.select(col("id"), col("label"))
     }
     edges.unpersist(blocking = false)
     if (!converged)

@@ -138,6 +138,57 @@ final case class ArrayIntBounds(child: Expression, lo: Long, hi: Long)
     copy(child = newChild)
 }
 
+/** Producer/consumer fusion of [[ArrayIntBounds]] over [[TokenArrayGen]]:
+  * checking the bounds of a GENERATED array needs no array — recompute each
+  * element in a register loop and compare. Eliminates the per-row array
+  * allocation (~2 KB/row of TLAB traffic: the dominant DRAM cost of the
+  * validation row pass over in-memory synthetic input at bench scale).
+  * Introduced only by the optimizer rule graft.plans.FuseGenChecks; never
+  * constructed by user-facing code. Requires n >= 0 (TokenArrayGen itself
+  * throws on negative lengths, so any plan this replaces into could not
+  * have evaluated a negative n either).
+  */
+final case class TokenGenBounds(orig: Expression, n: Expression,
+                                a: Long, b: Long, c: Long, vocab: Long,
+                                lo: Long, hi: Long)
+    extends BinaryExpression {
+
+  override def left: Expression = orig
+  override def right: Expression = n
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "token_gen_bounds_violated"
+
+  override protected def nullSafeEval(o: Any, nv: Any): Any = {
+    val oo = o.asInstanceOf[Long]
+    val len = nv.asInstanceOf[Int]
+    var i = 0
+    while (i < len) {
+      val v = (oo * a + i * b + c) % vocab
+      if (v < lo || v > hi) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (o, nv) => {
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val found = ctx.freshName("found")
+      s"""
+         |boolean $found = false;
+         |for (int $i = 0; $i < $nv && !$found; $i++) {
+         |  long $v = ($o * ${a}L + $i * ${b}L + ${c}L) % ${vocab}L;
+         |  if ($v < ${lo}L || $v > ${hi}L) { $found = true; }
+         |}
+         |${ev.value} = $found;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(orig = newLeft, n = newRight)
+}
+
 object exprs {
   import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
 

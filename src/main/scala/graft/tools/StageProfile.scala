@@ -18,16 +18,25 @@ object StageProfile {
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
     val shufParts = sys.env.get("SP_SHUF_ABS").map(_.toInt).getOrElse(cores)
     val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(s"local[$cores,4]")
       .config("spark.sql.shuffle.partitions", shufParts.toString)
+      // match Bench.session's protocol configs: no byte-based coalescing of
+      // the pinned reducer count, and no 120 s heartbeat fuse (G1 heap
+      // expansion on this host stalls all threads past it — see Bench)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.executor.heartbeat.maxFailures", "600")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val stages = mutable.Map[Int, (String, Long, Long, Long, Long, Long, Long)]() // name, wall, taskTime, tasks, shuffleW, shuffleR, spill
+    val stages = mutable.Map[Int, (String, Long, Long, Long, Long, Long, Long, Long, Long)]() // name, wall, taskTime, cpuTime, gcTime, tasks, shuffleW, shuffleR, spill
     spark.sparkContext.addSparkListener(new SparkListener {
       private val t0 = mutable.Map[Int, Long]()
       private val taskTime = mutable.Map[Int, Long]()
+      private val cpuTime = mutable.Map[Int, Long]()
+      private val gcTime = mutable.Map[Int, Long]()
       private val shuffleW = mutable.Map[Int, Long]()
       private val shuffleR = mutable.Map[Int, Long]()
       private val spill = mutable.Map[Int, Long]()
@@ -36,6 +45,9 @@ object StageProfile {
         t0(s.stageInfo.stageId) = System.nanoTime()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         taskTime(t.stageId) = taskTime.getOrElse(t.stageId, 0L) + t.taskMetrics.executorRunTime
+        cpuTime(t.stageId) = cpuTime.getOrElse(t.stageId, 0L) +
+          t.taskMetrics.executorCpuTime / 1000000L
+        gcTime(t.stageId) = gcTime.getOrElse(t.stageId, 0L) + t.taskMetrics.jvmGCTime
         shuffleW(t.stageId) = shuffleW.getOrElse(t.stageId, 0L) +
           t.taskMetrics.shuffleWriteMetrics.bytesWritten
         shuffleR(t.stageId) = shuffleR.getOrElse(t.stageId, 0L) +
@@ -51,6 +63,7 @@ object StageProfile {
         // callsite (always a SQL-execution thread-pool frame)
         val rdds = s.stageInfo.rddInfos.sortBy(_.id).map(_.name).distinct.mkString(">")
         stages(id) = (rdds.take(80), wall, taskTime.getOrElse(id, 0L),
+          cpuTime.getOrElse(id, 0L), gcTime.getOrElse(id, 0L),
           nTasks.getOrElse(id, 0L), shuffleW.getOrElse(id, 0L), shuffleR.getOrElse(id, 0L),
           spill.getOrElse(id, 0L))
       }
@@ -80,12 +93,13 @@ object StageProfile {
     }
     (1 to reps).foreach { r =>
       stages.clear()
+      spark.catalog.clearCache() // gated uniqueness persists its dup-hash set
       val t0 = System.nanoTime()
       suite()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[sp] === rep $r wall=$wall%.2f s (cores=$cores rows=$rows)")
-      stages.toSeq.sortBy(_._1).foreach { case (id, (name, w, tt, nt, sw, sr, sp)) =>
-        println(f"[sp] stage $id%3d wall=${w / 1000.0}%7.2f s taskTime=${tt / 1000.0}%8.2f s tasks=$nt%3d shufW=${sw / 1e6}%8.1f MB shufR=${sr / 1e6}%8.1f MB spill=${sp / 1e6}%8.1f MB  $name")
+      stages.toSeq.sortBy(_._1).foreach { case (id, (name, w, tt, ct, gt, nt, sw, sr, sp)) =>
+        println(f"[sp] stage $id%3d wall=${w / 1000.0}%7.2f s taskTime=${tt / 1000.0}%8.2f s cpu=${ct / 1000.0}%8.2f s gc=${gt / 1000.0}%7.2f s tasks=$nt%3d shufW=${sw / 1e6}%8.1f MB shufR=${sr / 1e6}%8.1f MB spill=${sp / 1e6}%8.1f MB  $name")
       }
     }
     spark.stop()

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.curate.Curation
+
+/** Curation operators: stratified sampling, sequence packing, token top-k. */
+class CurationSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("sampleBucket is deterministic, uniform-ish, and overflow-safe at huge ids") {
+    val ids = Seq(0L, 1L, 999999999999L, Long.MaxValue / 2).toDF("id")
+    val a = ids.select(Curation.sampleBucket(col("id")).as("b")).collect().map(_.getLong(0))
+    val b = ids.select(Curation.sampleBucket(col("id")).as("b")).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    assert(a.forall(x => x >= 0 && x < 1000))
+    // uniformity: over a dense id range, each decile gets 8–12%
+    val n = 10000L
+    val buckets = spark.range(n)
+      .select((Curation.sampleBucket(col("id")) / 100).cast("int").as("d"))
+      .groupBy("d").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 10).foreach { d =>
+      val c = buckets.getOrElse(d, 0L)
+      assert(c > n / 10 * 8 / 10 && c < n / 10 * 12 / 10, s"decile $d count $c")
+    }
+  }
+
+  test("sampleStratified applies per-key rates and the default for absent keys") {
+    val rates = Seq(("en", 0L), ("zh", 1000L)).toDF("key", "permille")
+    val out = Curation.sampleStratified(docs, "doc_id", "lang", rates)
+    val langs = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!langs.contains("en")) // rate 0 → all dropped
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs("zh") == total("zh")) // rate 1000 → all kept
+    // absent keys default to 1000 (all kept)
+    total.keys.filterNot(Set("en", "zh")).foreach(l => assert(langs(l) == total(l)))
+  }
+
+  test("packSequences: bins are budget-quantized exclusive prefix sums per shard") {
+    val df = Seq(
+      ("s", 0L, 1L, 50L), ("s", 0L, 2L, 50L), ("s", 0L, 3L, 50L), // prev: 0,50,100
+      ("s", 1L, 4L, 200L), ("s", 1L, 5L, 10L)                     // prev: 0,200
+    ).toDF("source", "shard", "doc_id", "tok")
+    val out = Curation.packSequences(df, "doc_id", "tok",
+        Seq(col("source"), col("shard")), 100L)
+      .select("doc_id", "bin_id", "bin_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 0L, 0L), (2L, 0L, 50L), (3L, 1L, 0L),
+      (4L, 0L, 0L), (5L, 2L, 0L)))
+  }
+
+  test("packSequences matches a single-stream hand fold on real docs") {
+    val in = docs.select(col("doc_id"), lit("all").as("g"),
+      graft.text.TextAnalysis.bpeTokenCount(col("text")).as("tok"))
+    val rows = in.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    var acc = 0L
+    val expect = rows.map { case (id, tok) =>
+      val bin = acc / 128; val off = acc % 128; acc += tok; (id, bin, off)
+    }.toSet
+    val got = Curation.packSequences(in, "doc_id", "tok", Seq(col("g")), 128L)
+      .select("doc_id", "bin_id", "bin_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
+  test("tokenTopK agrees with a driver-side wordcount and breaks ties by token") {
+    val counts = docs.select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expect = counts.sortBy { case (t, c) => (-c, t) }.take(5)
+    val got = Curation.tokenTopK(docs, "text", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("tokenTopK plans TakeOrdered, not a global sort") {
+    val plan = Curation.tokenTopK(docs, "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+}

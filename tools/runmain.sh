@@ -24,6 +24,7 @@ mkdir -p /root/repo/target/sparktmp
 export SPARK_LOCAL_DIRS=/root/repo/target/sparktmp
 exec java -cp "$CP" $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.sql.extensions=graft.plans.GraftExtensions \
   -Dspark.local.dir=/root/repo/target/sparktmp \
   -Xmx"$MEM" -Xms"$XMS" -XX:+AlwaysPreTouch \
   "$@"
