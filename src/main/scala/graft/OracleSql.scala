@@ -569,6 +569,39 @@ object OracleSql {
       |  CAST(floor(prev / 128.0) AS BIGINT) AS bin_id, prev % 128 AS bin_offset
       |FROM p ORDER BY source, shard, doc_id""".stripMargin,
 
+    "decontaminate" -> """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(ws) - 2, 0)),
+      |    j -> ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3])) AS sh
+      |  FROM w),
+      |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT tr.doc_id, COUNT(*) AS hit_ngrams
+      |FROM tr JOIN ev USING (g)
+      |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "doc_repetition" -> """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, greatest(len(ws) - 1, 0)),
+      |      j -> ws[j+1] || ' ' || ws[j+2]) AS g2,
+      |    list_transform(range(0, greatest(len(ws) - 2, 0)),
+      |      j -> ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3]) AS g3
+      |  FROM w),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(g2) = 0 THEN 0.0
+      |         ELSE round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END AS dup2_frac,
+      |    CASE WHEN len(g3) = 0 THEN 0.0
+      |         ELSE round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) END AS dup3_frac
+      |  FROM g)
+      |SELECT doc_id, dup2_frac, dup3_frac,
+      |       dup2_frac > 0.2 OR dup3_frac > 0.18 AS repetitive
+      |FROM f ORDER BY doc_id""".stripMargin,
+
     "tok_topfreq" -> """SELECT token, COUNT(*) AS cnt FROM (
       |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
       |  FROM documents)

@@ -611,6 +611,26 @@ object Queries {
   def tokTopFreq(s: SparkSession, dir: String): DataFrame =
     Curation.tokenTopK(docs(s, dir), "text", 20)
 
+  /** Benchmark decontamination over documents: the held-out "eval set" is
+    * every 97th doc; the report lists training docs sharing any 3-gram
+    * with it. Eval grams broadcast; one shuffle of hit rows only.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.contaminationHits(
+      d.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+      d.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+      "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style duplicate-n-gram repetition gate per document — pure
+    * per-row columns, no shuffle.
+    */
+  def docRepetition(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionScores(docs(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),

@@ -67,6 +67,8 @@ object SparkEntry {
     "sample_stratified" -> (Queries.sampleStratified _),
     "seq_pack" -> (Queries.seqPack _),
     "tok_topfreq" -> (Queries.tokTopFreq _),
+    "decontaminate" -> (Queries.decontaminate _),
+    "doc_repetition" -> (Queries.docRepetition _),
     "text_tokens" -> (Queries.textTokens _),
     "text_quality" -> (Queries.textQuality _),
     "text_lang_id" -> (Queries.textLangId _),

@@ -66,6 +66,65 @@ object Curation {
       .drop("_prev")
   }
 
+  /** Word n-grams WITH duplicates (unlike hashExprs.word_shingles, which
+    * set-dedups for Jaccard): the raw occurrence list repetition metrics
+    * need. Empty array below n words — `sequence(0, size-n)` must be
+    * guarded because Spark's sequence steps DOWNWARD when stop < start.
+    */
+  private def ngramList(wordsCol: Column, n: Int): Column =
+    when(size(wordsCol) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(wordsCol) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(wordsCol, i + j + 1)): _*)))
+
+  /** Benchmark decontamination: docs in `train` sharing any word n-gram
+    * with `evalSet` (the held-out benchmark corpus) — the overlap filter
+    * every serious pretraining pipeline runs so test sets don't leak into
+    * training data. Returns (doc_id, hit_ngrams): hit_ngrams = how many of
+    * the doc's DISTINCT n-grams occur in the eval set; clean docs are
+    * absent (drop = left_anti against this frame).
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs →
+    * millions of n-grams, a few hundred MB hashed) while train is the
+    * 100 TB side — so eval n-grams are broadcast and the train side's
+    * explode feeds a map-side broadcast hash join; the only shuffle is the
+    * final per-doc count, carrying hit rows only (rare by construction).
+    * If the eval corpus ever outgrows a broadcast, dropping the hint
+    * degrades to a shuffle join of (gram, id) pairs — same semantics.
+    */
+  def contaminationHits(train: DataFrame, evalSet: DataFrame, textCol: String,
+                        idCol: String, n: Int = 3): DataFrame = {
+    import graft.functions.hashExprs.word_shingles
+    import graft.text.TextAnalysis.words
+    val evalGrams = evalSet
+      .select(explode(word_shingles(words(col(textCol)), n)).as("g")).distinct()
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(word_shingles(words(col(textCol)), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hit_ngrams"))
+  }
+
+  /** Per-document repetition scoring (the Gopher-style quality gate):
+    * fraction of duplicate word 2-grams and 3-grams — 1 − distinct/total —
+    * plus a repetitive flag at the classic 0.2 / 0.18 thresholds. Pure
+    * per-row column arithmetic: no shuffle at any scale, stays inside
+    * whole-stage codegen alongside the other text_* scores.
+    */
+  def repetitionScores(df: DataFrame, textCol: String, idCol: String,
+                       dup2Max: Double = 0.2, dup3Max: Double = 0.18): DataFrame = {
+    def dupFrac(g: Column): Column =
+      when(size(g) === 0, lit(0.0))
+        .otherwise(round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+    df.select(col(idCol).as("doc_id"),
+        graft.text.TextAnalysis.words(col(textCol)).as("_ws"))
+      .select(col("doc_id"),
+        dupFrac(ngramList(col("_ws"), 2)).as("dup2_frac"),
+        dupFrac(ngramList(col("_ws"), 3)).as("dup3_frac"))
+      .withColumn("repetitive",
+        col("dup2_frac") > dup2Max || col("dup3_frac") > dup3Max)
+  }
+
   /** Corpus-level token frequency, top-k: the wordcount shape — explode is
     * row-explosive but the partial (map-side) aggregate collapses each
     * partition to its distinct tokens before the single shuffle, and top-k

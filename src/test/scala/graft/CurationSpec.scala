@@ -83,4 +83,43 @@ class CurationSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
+
+  test("contaminationHits counts distinct shared n-grams; clean docs absent") {
+    val train = Seq(
+      (1L, "a b c d e"),     // shares "a b c", "b c d", "c d e" with eval
+      (2L, "x y z w q"),     // clean
+      (3L, "c d e c d e f")  // "c d e" occurs twice but counts once (distinct grams)
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d z z c d e")).toDF("doc_id", "text")
+    val got = Curation.contaminationHits(train, eval, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 3L -> 1L)) // doc 2 clean → absent
+  }
+
+  test("contaminationHits broadcasts the eval side") {
+    val d = docs
+    val plan = Curation.contaminationHits(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+      "text", "doc_id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("repetitionScores: hand-checked duplicate-n-gram fractions and flag") {
+    val df = Seq(
+      (1L, "a b a b a"),   // g2: [a b, b a, a b, b a] → dup2 = 1 - 2/4 = 0.5
+      (2L, "a b c d e"),   // all distinct → 0.0
+      (3L, "x")            // below n → 0.0, 0.0
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionScores(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((0.5, 0.333333, true))) // g3: 3 grams, 2 distinct
+    assert(got(2L) == ((0.0, 0.0, false)))
+    assert(got(3L) == ((0.0, 0.0, false)))
+  }
+
+  test("repetitionScores is shuffle-free (single codegen stage)") {
+    val plan = Curation.repetitionScores(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
 }
