@@ -495,6 +495,34 @@ object OracleSql {
       |       CAST(vec_id AS BIGINT) AS neighbor
       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // Full SQL mirror of the IVF pipeline: codebook = vec_id < 8, corpus
+    // assigned to its argmax-cosine centroid (ties → smallest cid, the
+    // struct-sort order on the Spark side), queries probe their top-2
+    // centroids, exact cosine rescoring, per-query rank.
+    "sim_ann_ivf" -> s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < 8),
+      |sc AS (SELECT e.vec_id, e.embedding, cent.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |           ${dot("e.embedding", "cent.ce")}
+      |           / (sqrt(${dot("e.embedding", "e.embedding")})
+      |              * sqrt(${dot("cent.ce", "cent.ce")})) DESC, cent.cid) AS rn
+      |       FROM e CROSS JOIN cent),
+      |corpus AS (SELECT vec_id, embedding, cid FROM sc WHERE rn = 1),
+      |probes AS (SELECT vec_id AS qid, embedding AS qe, cid
+      |           FROM sc WHERE vec_id < 10 AND rn <= 2),
+      |s AS (SELECT p.qid, c.vec_id,
+      |        ${dot("c.embedding", "p.qe")}
+      |        / (sqrt(${dot("c.embedding", "c.embedding")})
+      |           * sqrt(${dot("p.qe", "p.qe")})) AS cos
+      |      FROM corpus c JOIN probes p USING (cid)
+      |      WHERE c.vec_id <> p.qid),
+      |r AS (SELECT qid, vec_id,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      |      FROM s)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+      |       CAST(vec_id AS BIGINT) AS neighbor
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     // Embedding-cosine near-dup: TWO-band bucket mirror of HyperplaneLsh
     // (band b uses plane indices p+16*b of the same integer plane family)
     // + exact cosine (index-ordered fold), rounded BEFORE the threshold

@@ -611,6 +611,23 @@ object Queries {
   def tokTopFreq(s: SparkSession, dir: String): DataFrame =
     Curation.tokenTopK(docs(s, dir), "text", 20)
 
+  /** IVF ANN over embeddings: the codebook is the first 8 corpus vectors
+    * (deterministic stand-in for a sampled k-means run — the codebook
+    * SOURCE is offline either way; what the operator certifies is the
+    * assign/probe/rescore pipeline). nprobe=2 of 8 lists; exact rescoring;
+    * same (qid, rank, neighbor) shape as sim_topk/sim_ann_lsh. The collect
+    * is k centroid rows — bounded by codebook size, never corpus size.
+    */
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 8L)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    Knn.ivfTopK(e, e.filter(col("vec_id") < 10L), "vec_id", "embedding", 5,
+        cents, nprobe = 2)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Benchmark decontamination over documents: the held-out "eval set" is
     * every 97th doc; the report lists training docs sharing any 3-gram
     * with it. Eval grams broadcast; one shuffle of hit rows only.

@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_groups" -> (Queries.dedupGroups _),
     "sim_topk" -> (Queries.simTopK _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
+    "sim_ann_ivf" -> (Queries.simAnnIvf _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "seq_pack" -> (Queries.seqPack _),
     "tok_topfreq" -> (Queries.tokTopFreq _),

@@ -81,6 +81,52 @@ object Knn {
     array(masks.map(m => bucket.bitwiseXOR(lit(m))): _*)
   }
 
+  /** IVF centroid scores: plan-time centroid literals scored against the
+    * row's embedding, sorted so element 1 is the best centroid — struct
+    * (−cos, cid) ascending ⇒ cosine descending, ties to the smallest cid.
+    * Centroids are driver-held plan literals, exactly like a broadcast
+    * k-means codebook in a production IVF index: k is bounded (≤ tens of
+    * thousands) and independent of corpus size, so baking them into the
+    * plan costs one task-binary download per executor, never a shuffle.
+    */
+  private def centroidScores(emb: Column, cents: Seq[(Long, Array[Float])]): Column =
+    array_sort(array(cents.map { case (cid, ce) =>
+      struct((-cosine(emb, typedlit(ce))).as("negcos"), lit(cid).as("cid"))
+    }: _*))
+
+  /** Nearest-centroid assignment — pure per-row columns, NO corpus shuffle
+    * (the defining IVF property: the inverted "list" is just a column).
+    */
+  def ivfAssign(emb: Column, cents: Seq[(Long, Array[Float])]): Column =
+    element_at(centroidScores(emb, cents), 1).getField("cid")
+
+  /** The `nprobe` nearest centroid ids for a query embedding. */
+  def ivfProbes(emb: Column, cents: Seq[(Long, Array[Float])], nprobe: Int): Column =
+    transform(slice(centroidScores(emb, cents), 1, nprobe),
+      s => s.getField("cid"))
+
+  /** IVF ANN top-k: corpus rows carry their nearest-centroid id; each query
+    * probes its `nprobe` nearest centroids' lists and rescores exactly.
+    * Same output shape as cosineTopK. Scale shape mirrors lshTopK — one
+    * corpus scan, corpus never shuffles, the small query side fans out
+    * ×nprobe and broadcasts; unlike LSH the partition of space is
+    * data-adaptive (centroids from a sampled clustering), which is what
+    * keeps recall up on clustered real-world embeddings where fixed
+    * hyperplanes leave dense regions in one bucket.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, cents: Seq[(Long, Array[Float])],
+              nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor"), col(embCol).as("ce"),
+      ivfAssign(col(embCol), cents).as("cid"))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"),
+      explode(ivfProbes(col(embCol), cents, nprobe)).as("cid"))
+    val scored = c.join(broadcast(q), Seq("cid"))
+      .filter(col("neighbor") =!= col("qid"))
+      .withColumn("cos", cosine(col("ce"), col("qe")))
+    rankTopK(scored, k)
+  }
+
   /** Approximate top-k: candidates share any of the query's multi-probe
     * buckets (Hamming ≤ `probeRadius`); exact cosine rescoring on
     * candidates only. Output shape identical to cosineTopK.

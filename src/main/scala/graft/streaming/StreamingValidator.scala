@@ -42,4 +42,19 @@ object StreamingValidator {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
+
+  /** Streaming exact dedup, keep-first: pass each content hash through once
+    * and drop re-arrivals inside the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — per-key state EXPIRES with the
+    * watermark, so state size is rate × horizon, not corpus size; plain
+    * streaming `dropDuplicates` would grow without bound). The batch twin
+    * is Dedup.exact's keep-first exemplar; a re-arrival later than the
+    * horizon is admitted again — the documented, bounded-state contract.
+    */
+  def dedupedWithinWatermark(stream: DataFrame, contentCol: String,
+                             tsCol: String, watermark: String): DataFrame =
+    stream.withColumn("_h", md5(col(contentCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
 }

@@ -170,6 +170,42 @@ class OpsSpec extends SparkTestBase {
     assert(annTop.subsetOf(brute))
   }
 
+  test("IVF: assignment is argmax-cosine over the codebook; exact copy is found via its list") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // two orthogonal centroids; vectors near each
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(0L, Seq(1f, 0f)), Row(1L, Seq(0f, 1f)),          // codebook
+      Row(10L, Seq(0.9f, 0.1f)), Row(11L, Seq(0.1f, 0.9f)), // one per list
+      Row(12L, Seq(0.89f, 0.11f))                           // near 10
+    )
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val cents = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f))
+    val assigned = df.select(col("vec_id"),
+        Knn.ivfAssign(col("embedding"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(0L -> 0L, 1L -> 1L, 10L -> 0L, 11L -> 1L, 12L -> 0L))
+    // nprobe=1: vec 10's top neighbor within its own list is 12
+    val top = Knn.ivfTopK(df, df.filter(col("vec_id") === 10), "vec_id",
+      "embedding", 1, cents, nprobe = 1)
+    assert(top.head().getLong(2) === 12L)
+  }
+
+  test("IVF ANN results are a subset of brute-force ordering") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val q = emb.filter(col("vec_id") < 3)
+    val ann = Knn.ivfTopK(emb, q, "vec_id", "embedding", 5, cents)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    val brute = Knn.cosineTopK(emb, q, "vec_id", "embedding", emb.count().toInt)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    assert(ann.nonEmpty)
+    assert(ann.subsetOf(brute))
+  }
+
   test("multimodal: mapPartitions stub decode agrees with the column twin") {
     val viaBatch = MediaPipeline.decodeMeta(MediaPipeline.fromDocuments(docs))
       .select(col("media_id").as("doc_id"), col("n_bytes"), col("width"),

@@ -109,4 +109,23 @@ class StreamingSpec extends SparkTestBase {
       assert(dups === Set("x"))
     } finally q.stop()
   }
+
+  test("streaming dedup keeps the first occurrence of each content hash across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingValidator.dedupedWithinWatermark(stream, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("streamdedup").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 00:00:10")
+      val t1 = Timestamp.valueOf("2026-01-01 00:01:10")
+      mem.addData((t0, 1L, "same text"), (t0, 2L, "same text"), (t0, 3L, "other"))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER micro-batch is still dropped (state)
+      mem.addData((t1, 4L, "same text"), (t1, 5L, "fresh"))
+      q.processAllAvailable()
+      val kept = spark.table("streamdedup").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept === Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
 }
