@@ -292,11 +292,18 @@ object Bench {
           // cleared so a persist inside the query can't feed its timed rep
           try { fn(s1, sfDir).count(); s1.catalog.clearCache() }
           catch { case _: Throwable => () }
-          val t = timed {
-            try fn(s1, sfDir).count()
-            catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-          }
-          s1.catalog.clearCache()
+          // min of 2 timed reps: a single rep still eats any transient
+          // co-tenant burst or late heap expansion in full (observed: a
+          // warm ~1 s query recording 64 s once) — min-of-reps is the same
+          // noise answer the scaling part uses
+          val t = (1 to 2).map { _ =>
+            val tt = timed {
+              try fn(s1, sfDir).count()
+              catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+            }
+            s1.catalog.clearCache()
+            tt
+          }.min
           name -> t
         }
         s1.stop()

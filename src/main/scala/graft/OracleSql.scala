@@ -630,6 +630,58 @@ object OracleSql {
       |       dup2_frac > 0.2 OR dup3_frac > 0.18 AS repetitive
       |FROM f ORDER BY doc_id""".stripMargin,
 
+    "curation_gate" -> """WITH tr AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+      |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws, text FROM tr),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS words,
+      |    CAST(length(regexp_replace(text, '[^.,!?]', '', 'g')) AS BIGINT) AS punct,
+      |    CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS stops,
+      |    list_transform(range(0, greatest(len(ws) - 1, 0)),
+      |      j -> ws[j+1] || ' ' || ws[j+2]) AS g2,
+      |    list_transform(range(0, greatest(len(ws) - 2, 0)),
+      |      j -> ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3]) AS g3
+      |  FROM w),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN words >= 50 AND stops > 0 THEN CAST(2 AS BIGINT)
+      |         WHEN words >= 20 THEN CAST(1 AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END AS quality,
+      |    CASE WHEN len(g2) = 0 THEN 0.0
+      |         ELSE round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END AS dup2_frac,
+      |    CASE WHEN len(g3) = 0 THEN 0.0
+      |         ELSE round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) END AS dup3_frac
+      |  FROM scored),
+      |esh AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+      |    j -> regexp_split_to_array(trim(text), '\s+')[j+1] || ' '
+      |         || regexp_split_to_array(trim(text), '\s+')[j+2] || ' '
+      |         || regexp_split_to_array(trim(text), '\s+')[j+3])) AS sh
+      |  FROM documents),
+      |ev AS (SELECT DISTINCT unnest(sh) AS g FROM esh WHERE doc_id % 97 = 0),
+      |contam AS (
+      |  SELECT DISTINCT t.doc_id FROM (
+      |    SELECT doc_id, unnest(sh) AS g FROM esh WHERE doc_id % 97 <> 0) t
+      |  JOIN ev USING (g))
+      |SELECT f.doc_id, f.quality, f.dup2_frac, f.dup3_frac,
+      |  f.dup2_frac > 0.2 OR f.dup3_frac > 0.18 AS repetitive,
+      |  c.doc_id IS NOT NULL AS contaminated,
+      |  f.quality >= 1 AND NOT (f.dup2_frac > 0.2 OR f.dup3_frac > 0.18)
+      |    AND c.doc_id IS NULL AS keep
+      |FROM f LEFT JOIN contam c ON f.doc_id = c.doc_id
+      |ORDER BY f.doc_id""".stripMargin,
+
+    "text_redact" -> """WITH c AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0 THEN text || ' call 123456789 or 555123456'
+      |         ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(text, '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS redactions
+      |FROM c ORDER BY doc_id""".stripMargin,
+
     "tok_topfreq" -> """SELECT token, COUNT(*) AS cnt FROM (
       |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
       |  FROM documents)

@@ -648,6 +648,31 @@ object Queries {
     Curation.repetitionScores(docs(s, dir), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** PII-style masking: runs of ≥6 digits → <NUM>. The synthetic text is
+    * letters-only, so every 10th doc gets a planted digits suffix — the
+    * operator must both FIRE (planted docs) and PASS THROUGH (the rest).
+    */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10L)) === 0L,
+        concat(col("text"), lit(" call 123456789 or 555123456")))
+        .otherwise(col("text")).as("text"))
+    Curation.redact(planted, "text", "doc_id", "[0-9]{6,}", "<NUM>")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Composite keep/drop verdict per training doc: quality + repetition in
+    * one scan, contamination via one (AQE-broadcast) join.
+    */
+  def curationGate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.gate(
+      d.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+      d.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+      "text", "doc_id", stops = Seq("the", "a", "of"))
+      .orderBy(col("doc_id"))
+  }
+
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),

@@ -70,6 +70,8 @@ object SparkEntry {
     "tok_topfreq" -> (Queries.tokTopFreq _),
     "decontaminate" -> (Queries.decontaminate _),
     "doc_repetition" -> (Queries.docRepetition _),
+    "curation_gate" -> (Queries.curationGate _),
+    "text_redact" -> (Queries.textRedact _),
     "text_tokens" -> (Queries.textTokens _),
     "text_quality" -> (Queries.textQuality _),
     "text_lang_id" -> (Queries.textLangId _),

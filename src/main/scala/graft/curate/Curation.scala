@@ -111,11 +111,12 @@ object Curation {
     * per-row column arithmetic: no shuffle at any scale, stays inside
     * whole-stage codegen alongside the other text_* scores.
     */
+  private def dupFrac(g: Column): Column =
+    when(size(g) === 0, lit(0.0))
+      .otherwise(round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+
   def repetitionScores(df: DataFrame, textCol: String, idCol: String,
-                       dup2Max: Double = 0.2, dup3Max: Double = 0.18): DataFrame = {
-    def dupFrac(g: Column): Column =
-      when(size(g) === 0, lit(0.0))
-        .otherwise(round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+                       dup2Max: Double = 0.2, dup3Max: Double = 0.18): DataFrame =
     df.select(col(idCol).as("doc_id"),
         graft.text.TextAnalysis.words(col(textCol)).as("_ws"))
       .select(col("doc_id"),
@@ -123,7 +124,52 @@ object Curation {
         dupFrac(ngramList(col("_ws"), 3)).as("dup3_frac"))
       .withColumn("repetitive",
         col("dup2_frac") > dup2Max || col("dup3_frac") > dup3Max)
+
+  /** The end-to-end keep/drop verdict a curation pipeline materializes per
+    * training document: quality bucket + repetition fractions in ONE
+    * projection over ONE corpus scan (all pure per-row columns — never one
+    * scan per score), then a single left join against the (anomaly-sized)
+    * contamination hit set, deliberately UNHINTED so AQE broadcasts it when
+    * small and degrades to a shuffle join on adversarial input.
+    */
+  def gate(train: DataFrame, evalSet: DataFrame, textCol: String,
+           idCol: String, stops: Seq[String], minQuality: Long = 1L,
+           dup2Max: Double = 0.2, dup3Max: Double = 0.18, n: Int = 3): DataFrame = {
+    import graft.text.TextAnalysis
+    val perRow = train
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.words(col(textCol)).as("_ws"),
+        TextAnalysis.wordCount(col(textCol)).as("words"),
+        TextAnalysis.punctCount(col(textCol)).as("punct"),
+        TextAnalysis.stopwordCount(col(textCol), stops).as("stops"))
+      .select(col("doc_id"), col("words"), col("punct"), col("stops"),
+        dupFrac(ngramList(col("_ws"), 2)).as("dup2_frac"),
+        dupFrac(ngramList(col("_ws"), 3)).as("dup3_frac"))
+      .withColumn("quality",
+        TextAnalysis.qualityBucket(col("words"), col("stops"), col("punct")))
+    perRow
+      .join(contaminationHits(train, evalSet, textCol, idCol, n),
+        Seq("doc_id"), "left")
+      .withColumn("contaminated", col("hit_ngrams").isNotNull)
+      .withColumn("repetitive",
+        col("dup2_frac") > dup2Max || col("dup3_frac") > dup3Max)
+      .withColumn("keep",
+        col("quality") >= minQuality && !col("repetitive") && !col("contaminated"))
+      .select(col("doc_id"), col("quality"), col("dup2_frac"), col("dup3_frac"),
+        col("repetitive"), col("contaminated"), col("keep"))
   }
+
+  /** PII-style pattern redaction: global replace + occurrence count, pure
+    * per-row codegen'd columns (shuffle-free at any scale). Keep `pattern`
+    * to constructs whose Java-regex and RE2 semantics coincide (no
+    * backrefs/lookarounds) so the oracle — and a production RE2-based
+    * scrubber — mirror it exactly.
+    */
+  def redact(df: DataFrame, textCol: String, idCol: String,
+             pattern: String, repl: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      regexp_replace(col(textCol), pattern, repl).as("redacted"),
+      regexp_count(col(textCol), lit(pattern)).cast("long").as("redactions"))
 
   /** Corpus-level token frequency, top-k: the wordcount shape — explode is
     * row-explosive but the partial (map-side) aggregate collapses each

@@ -13,7 +13,8 @@ import graft.functions.{ArrayIntBounds, TokenArrayGen, TokenGenBounds}
   *
   *   array_int_bounds_violated(token_array_gen(o, n), lo, hi)
   *     ⇒ token_gen_bounds_violated(o, n, lo, hi)   (register loop, no alloc)
-  *   size(token_array_gen(o, n)) ⇒ n               (when the gen is non-null)
+  *   size(token_array_gen(o, n)) ⇒ if(isnull(o), null, n)
+  *     (folds to plain n when o is non-nullable; n covers its own null)
   *
   * Handled shapes: the fused pair inside ONE expression tree, and the
   * ubiquitous two-Project shape (generator Project below, check Project
@@ -26,19 +27,33 @@ import graft.functions.{ArrayIntBounds, TokenArrayGen, TokenGenBounds}
   * and checked.
   *
   * The size rewrite is sound because TokenArrayGen throws on n < 0 (no
-  * plan that evaluates it with negative n completes) and is null only when
-  * an input is null (guarded by the nullability check).
+  * plan that evaluates it with negative n completes) and is null exactly
+  * when o or n is null — the If-guard reproduces that (see sizeOf).
   */
 object FuseGenChecks extends Rule[LogicalPlan] {
 
   private def fuse(g: TokenArrayGen, lo: Long, hi: Long): TokenGenBounds =
     TokenGenBounds(g.orig, g.n, g.a, g.b, g.c, g.vocab, lo, hi)
 
+  /** size(token_array_gen(o, n)) ⇒ n, null-corrected: the generated array
+    * is null iff o or n is null, and size(null) is null — n already covers
+    * its own null, so only a null o needs the guard. With non-nullable o
+    * the If constant-folds away (IsNull(o) → false) in the same batch.
+    * NOTE: a bare `!g.nullable => g.n` rewrite is nearly dead in practice —
+    * any pmod/div in the n expression makes it nullable under Catalyst's
+    * conservative nullability, which is exactly the shape the validation
+    * suite generates (caught by FuseGenChecksSpec).
+    */
+  private def sizeOf(g: TokenArrayGen): Expression =
+    if (!g.nullable) g.n
+    else If(IsNull(g.orig),
+      Literal.create(null, org.apache.spark.sql.types.IntegerType), g.n)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // shape 1: producer and consumer already in one tree
     val local = plan.transformAllExpressions {
       case ArrayIntBounds(g: TokenArrayGen, lo, hi) => fuse(g, lo, hi)
-      case Size(g: TokenArrayGen, _) if !g.nullable => g.n
+      case Size(g: TokenArrayGen, _) => sizeOf(g)
     }
     // shape 2: consumer Project directly above the generator Project
     local.transformUp {
@@ -62,8 +77,8 @@ object FuseGenChecks extends Rule[LogicalPlan] {
               shared((ar.exprId, s"bounds_${lo}_$hi"),
                 fuse(genById(ar.exprId), lo, hi))
             case Size(ar: AttributeReference, _)
-                if genById.get(ar.exprId).exists(!_.nullable) =>
-              shared((ar.exprId, "size"), genById(ar.exprId).n)
+                if genById.contains(ar.exprId) =>
+              shared((ar.exprId, "size"), sizeOf(genById(ar.exprId)))
           }.asInstanceOf[NamedExpression])
           if (added.isEmpty) p
           else Project(newParent, Project(c.projectList ++ added, c.child))

@@ -122,4 +122,38 @@ class CurationSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(800))
   }
+
+  test("gate verdict: each failure mode flips keep, clean doc passes") {
+    val train = Seq(
+      // 25 distinct words, has stopword, no repetition → quality 1, keep
+      (1L, (1 to 25).map(i => s"w$i").mkString("the ", " ", "")),
+      // heavy bigram repetition → repetitive, drop
+      (2L, Seq.fill(30)("spam ham").mkString(" ")),
+      // too short → quality 0, drop
+      (3L, "tiny doc only"),
+      // contains the eval 3-gram → contaminated, drop
+      (4L, (1 to 25).map(i => s"q$i").mkString("the ", " ", "") + " leak gram here")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "benchmark answer leak gram here")).toDF("doc_id", "text")
+    val got = Curation.gate(train, eval, "text", "doc_id", Seq("the", "a", "of"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(got(1L)._4, s"clean doc must keep: ${got(1L)}")
+    assert(!got(2L)._4 && got(2L)._2, "repetitive doc must drop via the repetition flag")
+    assert(!got(3L)._4 && got(3L)._1 === 0L, "short doc must drop via quality")
+    assert(!got(4L)._4 && got(4L)._3, "eval-overlapping doc must drop via contamination")
+  }
+
+  test("redact masks digit runs globally and counts occurrences; non-matching rows pass through") {
+    val df = Seq(
+      (1L, "call 123456789 or 555123456 now"),
+      (2L, "no digits here"),
+      (3L, "short 12345 stays")
+    ).toDF("doc_id", "text")
+    val got = Curation.redact(df, "text", "doc_id", "[0-9]{6,}", "<NUM>")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) === (("call <NUM> or <NUM> now", 2L)))
+    assert(got(2L) === (("no digits here", 0L)))
+    assert(got(3L) === (("short 12345 stays", 0L))) // below the run length
+  }
 }
