@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench.mergeBaseline: a noisy later run must not clobber a better
+  * calm-window scaling record, while the per-operator table always
+  * refreshes from the latest run.
+  */
+class BenchMergeSpec extends AnyFunSuite {
+
+  // table appended AFTER stripMargin, exactly as Bench builds the file
+  // (stripMargin would otherwise eat the rows' leading '|')
+  private def record(eff: Double, opTable: String): String =
+    s"""# BENCH — measured
+       |
+       |Scaling efficiency (8 -> 32 cores = N -> 4N): **$eff** (target >= 0.8).
+       |
+       |Per-operator wall clock (s) on /root/testdata/sf0.1 at 32 cores:
+       |""".stripMargin +
+      s"\n| query | sec |\n|---|---|\n$opTable\n"
+
+  test("first run writes the new record verbatim") {
+    val md = record(0.50, "| q1_agg | 0.5 |")
+    assert(Bench.mergeBaseline(None, md, 0.50, 0.1, 0.2) == md)
+  }
+
+  test("better new efficiency replaces the whole file") {
+    val prev = record(0.45, "| q1_agg | 0.9 |")
+    val md = record(0.60, "| q1_agg | 0.5 |")
+    assert(Bench.mergeBaseline(Some(prev), md, 0.60, 0.1, 0.2) == md)
+  }
+
+  test("worse new efficiency keeps the previous scaling block, refreshes the op table, and appends a provenance note") {
+    val prev = record(0.559, "| q1_agg | 0.9 |\n| old_only | 1.0 |")
+    val md = record(0.422, "| q1_agg | 0.5 |\n| new_only | 0.2 |")
+    val out = Bench.mergeBaseline(Some(prev), md, 0.422, 0.1, 0.4)
+    assert(out.contains("**0.559**"), "previous scaling headline retained")
+    assert(!out.contains("**0.422**"), "noisy headline not promoted")
+    assert(out.contains("| new_only | 0.2 |"), "op table from the latest run")
+    assert(!out.contains("| old_only | 1.0 |"), "stale op table dropped")
+    assert(out.contains("measured 0.422"), "provenance note names the latest run")
+    assert(out.contains("0.559, retained"), "provenance note names the kept record")
+  }
+
+  test("unparseable or marker-less previous file is replaced, not corrupted") {
+    val md = record(0.30, "| q1_agg | 0.5 |")
+    assert(Bench.mergeBaseline(Some("garbage with no headline"), md, 0.30, 0.0, 0.0) == md)
+    val prevNoMarker = "Scaling efficiency (8 -> 32 cores = N -> 4N): **0.9** but no table"
+    assert(Bench.mergeBaseline(Some(prevNoMarker), md, 0.30, 0.0, 0.0) == md)
+  }
+}
