@@ -184,6 +184,45 @@ object OracleSql {
       |  max(source) AS source_max
       |FROM dirty""".stripMargin,
 
+    "constraint_suggest" -> s"""WITH $Dirty,
+      |prof AS (
+      |  SELECT count(*) AS rows,
+      |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS did_nulls,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS did_distinct,
+      |    sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END) AS nt_nulls,
+      |    CAST(min(n_tok) AS BIGINT) AS nt_min,
+      |    CAST(max(n_tok) AS BIGINT) AS nt_max,
+      |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS src_nulls,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS src_distinct,
+      |    list_sort(list(DISTINCT source)) AS src_vals,
+      |    sum(CASE WHEN tokens IS NULL THEN 1 ELSE 0 END) AS tok_nulls,
+      |    CAST(min(list_aggregate(tokens, 'min')) AS BIGINT) AS tok_emin,
+      |    CAST(max(list_aggregate(tokens, 'max')) AS BIGINT) AS tok_emax,
+      |    CAST(min(len(tokens)) AS BIGINT) AS tok_smin,
+      |    CAST(max(len(tokens)) AS BIGINT) AS tok_smax
+      |  FROM dirty
+      |)
+      |SELECT "column", kind, param FROM (
+      |  SELECT 'doc_id' AS "column", 'required' AS kind, '' AS param
+      |    FROM prof WHERE did_nulls = 0 AND rows > 0
+      |  UNION ALL SELECT 'doc_id', 'unique', ''
+      |    FROM prof WHERE did_nulls = 0 AND did_distinct = rows
+      |  UNION ALL SELECT 'n_tok', 'required', ''
+      |    FROM prof WHERE nt_nulls = 0 AND rows > 0
+      |  UNION ALL SELECT 'n_tok', 'range', '[' || nt_min || ',' || nt_max || ']'
+      |    FROM prof WHERE nt_min IS NOT NULL
+      |  UNION ALL SELECT 'source', 'required', ''
+      |    FROM prof WHERE src_nulls = 0 AND rows > 0
+      |  UNION ALL SELECT 'source', 'enum', array_to_string(src_vals, ',')
+      |    FROM prof WHERE src_distinct BETWEEN 1 AND 32
+      |  UNION ALL SELECT 'tokens', 'required', ''
+      |    FROM prof WHERE tok_nulls = 0 AND rows > 0
+      |  UNION ALL SELECT 'tokens', 'elem_range', '[' || tok_emin || ',' || tok_emax || ']'
+      |    FROM prof WHERE tok_emin IS NOT NULL
+      |  UNION ALL SELECT 'tokens', 'size_range', '[' || tok_smin || ',' || tok_smax || ']'
+      |    FROM prof WHERE tok_smin IS NOT NULL
+      |) ORDER BY "column", kind""".stripMargin,
+
     "partition_summary" -> s"""WITH $Dirty,
       |v AS (SELECT source, $Vc AS vc FROM dirty)
       |SELECT source, CAST(count(*) AS BIGINT) AS rows,

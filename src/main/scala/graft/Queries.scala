@@ -171,6 +171,24 @@ object Queries {
       min(col("source")).as("source_min"),
       max(col("source")).as("source_max")))
 
+  /** Constraint suggestion (Deequ-style bootstrap loop): profile the dirty
+    * slice once and propose the constraints the data satisfies. The planted
+    * violations shape the proposal — doc_id carries NULLs and duplicates,
+    * so it earns NO required/unique suggestion; the observed n_tok range
+    * widens to the planted [0,9999]; source picks up '__unknown__' in its
+    * enum set. SuggestSpec closes the loop: suggestions on the CLEAN slice
+    * compile via ConstraintSuggestion.toConstraints into a suite the clean
+    * slice passes with zero violations.
+    */
+  def constraintSuggest(s: SparkSession, dir: String): DataFrame =
+    graft.stats.ConstraintSuggestion.suggest(dirty(s, dir),
+      graft.stats.ConstraintSuggestion.Spec(
+        numericCols = Seq("n_tok"),
+        stringCols = Seq("doc_id", "source"),
+        arrayIntCols = Seq("tokens"),
+        keyCols = Seq("doc_id"),
+        enumCandidates = Seq("source")))
+
   /** Sketch flavor (scale path; no byte-exact SQL twin → rows-only check). */
   def colStatsSketch(s: SparkSession, dir: String): DataFrame =
     StatsPass.run(dirty(s, dir),

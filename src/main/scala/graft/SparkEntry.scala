@@ -33,6 +33,7 @@ object SparkEntry {
     "token_equality" -> (Queries.tokenEquality _),
     "col_stats" -> (Queries.colStats _),
     "col_stats_sketch" -> (Queries.colStatsSketch _),
+    "constraint_suggest" -> (Queries.constraintSuggest _),
     "partition_summary" -> (Queries.partitionSummary _),
     "drift_hist" -> (Queries.driftHist _),
     "drift_stats" -> (Queries.driftStats _),
