@@ -1,0 +1,144 @@
+package graft.schema
+
+/** Schema-evolution compatibility checking — can a READER declared with the
+  * new schema safely consume data written under the old one? (The Avro
+  * schema-resolution rules a schema registry enforces as its BACKWARD
+  * default; the natural companion to this engine's Avro/JSON-Schema/DDL
+  * renders in [[Renders]].)
+  *
+  * For a VALIDATION engine the question extends past decodability: a
+  * tightened constraint (narrower range/enum, added regex, newly-required
+  * field) means previously-accepted rows can now FAIL validation — those
+  * come back as `compatible = false` findings too, so a schema bump can be
+  * gated before it reclassifies 10^12 historical rows.
+  *
+  * Pure metadata — no Spark job. Deterministic finding order (declaration
+  * order of the new schema, then removed fields in old-schema order).
+  */
+object SchemaCompat {
+
+  /** One evolution finding. `field` is the dotted path for nested records. */
+  final case class Finding(
+      field: String, change: String, compatible: Boolean, detail: String)
+
+  /** Full report: every added/removed/changed field, nested records
+    * recursed with dotted paths. Unchanged fields emit nothing.
+    */
+  def check(newSchema: RecordSchema, oldSchema: RecordSchema): Seq[Finding] =
+    checkFields(newSchema.fields, oldSchema.fields, prefix = "")
+
+  /** True iff no finding is incompatible. */
+  def compatible(newSchema: RecordSchema, oldSchema: RecordSchema): Boolean =
+    check(newSchema, oldSchema).forall(_.compatible)
+
+  private def checkFields(newFs: Seq[FieldSpec], oldFs: Seq[FieldSpec],
+                          prefix: String): Seq[Finding] = {
+    val oldByName = oldFs.map(f => f.name -> f).toMap
+    val newNames = newFs.map(_.name).toSet
+    def path(n: String) = if (prefix.isEmpty) n else s"$prefix.$n"
+
+    val changedOrAdded = newFs.flatMap { nf =>
+      oldByName.get(nf.name) match {
+        case None =>
+          // new field: old rows carry no value for it — needs a default
+          // (or to be optional) exactly like pyschema load of a missing key
+          val ok = !nf.required || nf.default.isDefined
+          Seq(Finding(path(nf.name), "added", ok,
+            if (ok) "optional or defaulted — old rows load cleanly"
+            else "required without default — every old row fails required"))
+        case Some(of) => checkField(path(nf.name), nf, of)
+      }
+    }
+    val removed = oldFs.filterNot(f => newNames.contains(f.name)).map { of =>
+      Finding(path(of.name), "removed", compatible = true,
+        "reader ignores the written column")
+    }
+    changedOrAdded ++ removed
+  }
+
+  private def checkField(p: String, nf: FieldSpec, of: FieldSpec): Seq[Finding] = {
+    val typeFindings = checkType(p, nf.ftype, of.ftype)
+    val reqFinding =
+      if (nf.required && !of.required && nf.default.isEmpty)
+        Seq(Finding(p, "required_added", compatible = false,
+          "old data may hold NULLs — now a required violation"))
+      else if (!nf.required && of.required)
+        Seq(Finding(p, "required_dropped", compatible = true, "loosened"))
+      else Nil
+    val rangeFinding = {
+      val tightLo = nf.min.exists(nlo => of.min.forall(_ < nlo))
+      val tightHi = nf.max.exists(nhi => of.max.forall(_ > nhi))
+      val loosened = (nf.min, nf.max) != (of.min, of.max)
+      if (tightLo || tightHi)
+        Seq(Finding(p, "range_tightened", compatible = false,
+          s"old bounds [${of.min.getOrElse("-inf")},${of.max.getOrElse("inf")}] exceed " +
+            s"new [${nf.min.getOrElse("-inf")},${nf.max.getOrElse("inf")}]"))
+      else if (loosened)
+        Seq(Finding(p, "range_loosened", compatible = true, "loosened or equal"))
+      else Nil
+    }
+    val regexFinding = (nf.regex, of.regex) match {
+      case (Some(n), o) if !o.contains(n) =>
+        // regex containment is undecidable in general — conservative
+        Seq(Finding(p, "regex_changed", compatible = false,
+          "cannot prove the new pattern accepts all old values"))
+      case (None, Some(_)) =>
+        Seq(Finding(p, "regex_dropped", compatible = true, "loosened"))
+      case _ => Nil
+    }
+    typeFindings ++ reqFinding ++ rangeFinding ++ regexFinding
+  }
+
+  private def checkType(p: String, nt: FType, ot: FType): Seq[Finding] =
+    (nt, ot) match {
+      case (a, b) if a == b => Nil
+      case (IntT(ns), IntT(os)) =>
+        if (ns >= os) Seq(Finding(p, "int_widened", compatible = true,
+          s"int$os -> int$ns promotion"))
+        else Seq(Finding(p, "int_narrowed", compatible = false,
+          s"int$os -> int$ns — old values can exceed the new width"))
+      case (FloatT(ns), FloatT(os)) =>
+        if (ns >= os) Seq(Finding(p, "float_widened", compatible = true, ""))
+        else Seq(Finding(p, "float_narrowed", compatible = false,
+          "double -> float loses precision"))
+      case (FloatT(_), IntT(_)) =>
+        Seq(Finding(p, "int_to_float", compatible = true,
+          "numeric promotion (Avro int/long -> float/double)"))
+      case (EnumT(nvs), EnumT(ovs)) =>
+        val missing = ovs.filterNot(nvs.contains)
+        if (missing.isEmpty) Seq(Finding(p, "enum_extended", compatible = true,
+          "new symbol set contains every old symbol"))
+        else Seq(Finding(p, "enum_narrowed", compatible = false,
+          s"old symbols dropped: ${missing.mkString(",")}"))
+      case (TextT, EnumT(_)) =>
+        Seq(Finding(p, "enum_to_text", compatible = true, "widened to string"))
+      case (EnumT(_), TextT) =>
+        Seq(Finding(p, "text_to_enum", compatible = false,
+          "old strings may fall outside the symbol set"))
+      case (n: ListT, o: ListT) =>
+        val nullability =
+          if (!n.containsNull && o.containsNull)
+            Seq(Finding(p, "elem_nulls_forbidden", compatible = false,
+              "old arrays may contain nulls"))
+          else Nil
+        val bounds = {
+          val tight = n.elemMin.exists(nlo => o.elemMin.forall(_ < nlo)) ||
+            n.elemMax.exists(nhi => o.elemMax.forall(_ > nhi))
+          if (tight) Seq(Finding(p, "elem_range_tightened", compatible = false,
+            "old elements can exceed the new bounds"))
+          else Nil
+        }
+        nullability ++ bounds ++ checkType(s"$p[]", n.elem, o.elem)
+      case (n: MapT, o: MapT) =>
+        val tight = n.valueMin.exists(nlo => o.valueMin.forall(_ < nlo)) ||
+          n.valueMax.exists(nhi => o.valueMax.forall(_ > nhi))
+        (if (tight) Seq(Finding(p, "map_range_tightened", compatible = false,
+          "old map values can exceed the new bounds")) else Nil) ++
+          checkType(s"$p{}", n.value, o.value)
+      case (SubRecordT(ns), SubRecordT(os)) =>
+        checkFields(ns.fields, os.fields, prefix = p)
+      case (a, b) =>
+        Seq(Finding(p, "type_changed", compatible = false,
+          s"${b.getClass.getSimpleName} -> ${a.getClass.getSimpleName} has no resolution rule"))
+    }
+}
