@@ -24,10 +24,13 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(Bench.mergeBaseline(None, md, 0.50, 0.1, 0.2) == md)
   }
 
-  test("better new efficiency replaces the whole file") {
+  test("better new efficiency replaces the scaling block") {
     val prev = record(0.45, "| q1_agg | 0.9 |")
     val md = record(0.60, "| q1_agg | 0.5 |")
-    assert(Bench.mergeBaseline(Some(prev), md, 0.60, 0.1, 0.2) == md)
+    val out = Bench.mergeBaseline(Some(prev), md, 0.60, 0.1, 0.2)
+    assert(out.contains("**0.6**") && !out.contains("**0.45**"))
+    assert(out.contains("| q1_agg | 0.500 |"))
+    assert(!out.contains("Provenance"), "clean promotion needs no note")
   }
 
   test("worse new efficiency keeps the previous scaling block, refreshes the op table, and appends a provenance note") {
@@ -36,10 +39,21 @@ class BenchMergeSpec extends AnyFunSuite {
     val out = Bench.mergeBaseline(Some(prev), md, 0.422, 0.1, 0.4)
     assert(out.contains("**0.559**"), "previous scaling headline retained")
     assert(!out.contains("**0.422**"), "noisy headline not promoted")
-    assert(out.contains("| new_only | 0.2 |"), "op table from the latest run")
-    assert(!out.contains("| old_only | 1.0 |"), "stale op table dropped")
+    assert(out.contains("| new_only | 0.200 |"), "op table from the latest run")
+    assert(!out.contains("| old_only | 1.0"), "stale op table dropped")
     assert(out.contains("measured 0.422"), "provenance note names the latest run")
     assert(out.contains("0.559, retained"), "provenance note names the kept record")
+  }
+
+  test("per-operator rows take the elementwise min against the previous record") {
+    // a transient stall can span both of one run's timed reps — the
+    // previous record's lower value must survive a noisy refresh
+    val prev = record(0.50, "| dedup_embedding | 3.500 |\n| q1_agg | 0.900 |")
+    val md = record(0.60, "| dedup_embedding | 50.024 |\n| q1_agg | 0.500 |")
+    val out = Bench.mergeBaseline(Some(prev), md, 0.60, 0.1, 0.2)
+    assert(out.contains("**0.6**"), "better scaling block promoted")
+    assert(out.contains("| dedup_embedding | 3.500 |"), "stalled value replaced by recorded min")
+    assert(out.contains("| q1_agg | 0.500 |"), "improved value kept")
   }
 
   test("unparseable or marker-less previous file is replaced, not corrupted") {
