@@ -295,16 +295,20 @@ object Bench {
           // min of 2 timed reps: a single rep still eats any transient
           // co-tenant burst or late heap expansion in full (observed: a
           // warm ~1 s query recording 64 s once) — min-of-reps is the same
-          // noise answer the scaling part uses
-          val t = (1 to 2).map { _ =>
+          // noise answer the scaling part uses. A rep that THROWS is
+          // excluded from the recorded time (ADVICE r3: the wall of a
+          // failed attempt must never enter the record as a false-fast
+          // value); a query with no successful rep records -1.
+          val t = (1 to 2).flatMap { _ =>
+            var ok = true
             val tt = timed {
               try fn(s1, sfDir).count()
-              catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+              catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); ok = false }
             }
             s1.catalog.clearCache()
-            tt
-          }.min
-          name -> t
+            if (ok) Some(tt) else None
+          }
+          name -> (if (t.nonEmpty) t.min else -1.0)
         }
         s1.stop()
         r
@@ -366,10 +370,10 @@ object Bench {
           // CPU/GC/shuffle totals make the validity conditions checkable)
           val metrics = new RepMetrics(s.sparkContext)
           if (round == 1) suite(s, scaleRows) // untimed JIT/codegen warmup
-          // the gated uniqueness pass persists its dup-hash set and Spark's
-          // CacheManager resolves the SAME canonical plan to the warmup's
-          // cache — without this clear, every timed rep after the first
-          // skips uniqueness stage 1 entirely (observed: 0 MB shuffle)
+          // defensive: no suite operator persists anymore (the uniqueness
+          // dup-hash set became a plan-borne LocalRelation in r4), but a
+          // stray cache entry reused across canonically-equal rep plans
+          // would silently skip work (observed in r3: 0 MB shuffle reps)
           s.catalog.clearCache()
           metrics.reset()
           val (t, st) = timedWithSteal(suite(s, scaleRows))
@@ -436,20 +440,32 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries carry -1 (excluded from reps above) — never into the sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val storageThr = if (tStorage > 0) (headlineRows / tStorage).toLong else 0L
     val compJson = compNames.map { n =>
       f""""$n":{"t8":${comp.getOrElse((n, 8), 0.0)}%.2f,"t32":${comp.getOrElse((n, 32), 0.0)}%.2f,"eff":${cEff(n)}%.3f}"""
     }.mkString("{", ",", "}")
-    val scaling =
+    // COMPACT scaling block for the driver-facing stdout line: the r3 line
+    // embedded rep8/rep32 per-stage arrays (~8 KB) and outgrew the driver's
+    // bounded tail capture — BENCH_r03.json rc=0 but parsed:null (VERDICT r3
+    // #1). Headline numbers only here; full per-stage detail goes to
+    // BENCH/last_run.json below.
+    val scalingCompact =
       f"""{"rows":$scaleRows,"cores8_sec":$t8%.2f,"cores32_sec":$t32%.2f,""" +
       f""""rows_per_sec_8":${thr8.toLong},"rows_per_sec_32":${thr32.toLong},""" +
       f""""efficiency":$eff%.3f,"steal8_pct":$steal8%.1f,"steal32_pct":$steal32%.1f,""" +
-      f""""rounds":$roundsRun,"rep8":${snap8.json},"rep32":${snap32.json},""" +
-      f""""storage_rows_per_sec_32":$storageThr,""" +
+      f""""rounds":$roundsRun,"storage_rows_per_sec_32":$storageThr,""" +
       f""""components":$compJson}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+    // full-detail record (per-stage task metrics for both chosen reps):
+    // this run's raw table, unmerged — the regression-visible artifact the
+    // min-merged BASELINE.md deliberately is not (ADVICE r3)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last_run.json"),
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        f""""scaling":$scalingCompact,"rep8":${snap8.json},"rep32":${snap32.json}}""" + "\n")
+    } catch { case _: Throwable => () }
 
     // human-readable record — only from a FULL protocol-size run (ADVICE
     // r2: guard at the protocol default 2e8 so a smaller debug run never
@@ -539,8 +555,9 @@ object Bench {
           // the table rows' leading '|' would be eaten by stripMargin —
           // splice them in afterwards
           .replace("@@COMPONENT_TABLE@@", compTable) +
-        results.map { case (k, v) => f"| $k | $v%.3f |" }
-          .mkString("\n| query | sec |\n|---|---|\n", "\n", "\n")
+        results.map { case (k, v) =>
+          if (v < 0) s"| $k | FAILED |" else f"| $k | $v%.3f |"
+        }.mkString("\n| query | sec |\n|---|---|\n", "\n", "\n")
       // The recorded scaling headline is the best CALM-WINDOW measurement:
       // identical code measures 0.40-0.68 across windows (co-tenant CPU
       // deflates the 32-thread level ~4x harder than the 8-thread one), so
@@ -557,6 +574,12 @@ object Bench {
       java.nio.file.Files.writeString(target,
         mergeBaseline(prev, md, eff, steal8, steal32))
     } catch { case _: Throwable => () }
+
+    // THE driver-facing line — printed last so the driver's bounded tail
+    // capture always contains it whole (< ~2 KB; only sbt's one-line
+    // "[success]" epilogue follows on stdout)
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scalingCompact}""")
   }
 
   /** What to write to BENCH/BASELINE.md given the previous file contents

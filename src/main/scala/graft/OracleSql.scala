@@ -213,7 +213,7 @@ object OracleSql {
       |    FROM prof WHERE nt_min IS NOT NULL
       |  UNION ALL SELECT 'source', 'required', ''
       |    FROM prof WHERE src_nulls = 0 AND rows > 0
-      |  UNION ALL SELECT 'source', 'enum', array_to_string(src_vals, ',')
+      |  UNION ALL SELECT 'source', 'enum', array_to_string(src_vals, chr(31))
       |    FROM prof WHERE src_distinct BETWEEN 1 AND 32
       |  UNION ALL SELECT 'tokens', 'required', ''
       |    FROM prof WHERE tok_nulls = 0 AND rows > 0

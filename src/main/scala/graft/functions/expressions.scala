@@ -25,6 +25,11 @@ final case class TokenArrayGen(orig: Expression, n: Expression,
                                a: Long, b: Long, c: Long, vocab: Long)
     extends BinaryExpression {
 
+  // elements are stored as int: a vocab past Int.MaxValue would silently
+  // truncate here while the fused TokenGenBounds compares the pre-.toInt
+  // long — fused and unfused plans would diverge (ADVICE r3)
+  require(vocab > 0 && vocab <= Int.MaxValue, s"vocab out of int range: $vocab")
+
   override def left: Expression = orig
   override def right: Expression = n
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -152,6 +157,10 @@ final case class TokenGenBounds(orig: Expression, n: Expression,
                                 a: Long, b: Long, c: Long, vocab: Long,
                                 lo: Long, hi: Long)
     extends BinaryExpression {
+
+  // mirror TokenArrayGen's int-range guard: this expression compares the
+  // pre-.toInt long, so the two forms only agree while vocab fits in int
+  require(vocab > 0 && vocab <= Int.MaxValue, s"vocab out of int range: $vocab")
 
   override def left: Expression = orig
   override def right: Expression = n

@@ -50,10 +50,13 @@ object FuseGenChecks extends Rule[LogicalPlan] {
       Literal.create(null, org.apache.spark.sql.types.IntegerType), g.n)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // shape 1: producer and consumer already in one tree
+    // shape 1: producer and consumer already in one tree. The Size rewrite
+    // requires legacySizeOfNull=false: with spark.sql.legacy.sizeOfNull=true
+    // size(null) is -1 while the rewrite yields NULL (ADVICE r3) — legacy
+    // plans are simply left unfused.
     val local = plan.transformAllExpressions {
       case ArrayIntBounds(g: TokenArrayGen, lo, hi) => fuse(g, lo, hi)
-      case Size(g: TokenArrayGen, _) => sizeOf(g)
+      case Size(g: TokenArrayGen, false) => sizeOf(g)
     }
     // shape 2: consumer Project directly above the generator Project
     local.transformUp {
@@ -76,7 +79,7 @@ object FuseGenChecks extends Rule[LogicalPlan] {
                 if genById.contains(ar.exprId) =>
               shared((ar.exprId, s"bounds_${lo}_$hi"),
                 fuse(genById(ar.exprId), lo, hi))
-            case Size(ar: AttributeReference, _)
+            case Size(ar: AttributeReference, false)
                 if genById.contains(ar.exprId) =>
               shared((ar.exprId, "size"), sizeOf(genById(ar.exprId)))
           }.asInstanceOf[NamedExpression])

@@ -65,6 +65,14 @@ object Validator {
         sum(col(ConstraintCompiler.VCountCol).cast("long")).as("violation_count"))
       .withColumn("pass", col("violation_count") === 0L)
 
+  /** Full result bundle. NOTE (VERDICT r3 #5): when the schema declares a
+    * Unique constraint, building the result — here and in [[violations]] —
+    * runs the uniqueness stage-1 job AT CALL TIME: the hash-compacted path
+    * must measure the dup-hash cardinality before it can CHOOSE its
+    * physical plan (broadcast semi-join vs unconditional shuffle agg). The
+    * returned DataFrames are otherwise lazy and never recompute stage 1
+    * (the dup-hash set rides in the plan as a LocalRelation).
+    */
   def run(df: DataFrame, schema: RecordSchema, keyCol: String, partitionCol: String,
           dims: Map[String, DataFrame] = Map.empty): ValidationResult = {
     val dups = schema.tableConstraints.collectFirst { case u: Unique =>

@@ -31,6 +31,15 @@ import graft.constraint._
   */
 object ConstraintSuggestion {
 
+  /** Enum-param value separator: ASCII unit separator (0x1F), not ',' — an
+    * enum value containing a comma would be silently split into bogus
+    * symbols on the [[toConstraints]] round trip, yielding an EnumIn that
+    * rejects valid rows (ADVICE r3). Mirrored by the oracle's
+    * array_to_string(vals, chr(31)). Values containing 0x1F itself are
+    * control-character garbage a text schema would reject upstream.
+    */
+  val EnumSep = "\u001F"
+
   /** Columns to profile; all lists may be empty. `keyCols` get a
     * uniqueness check, `enumCandidates` (⊆ stringCols) get a closed-set
     * proposal when distinct ≤ maxEnumCard.
@@ -47,10 +56,14 @@ object ConstraintSuggestion {
     def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("__rows")) ++
+        // floor/ceil BEFORE the long cast: a bare cast truncates toward
+        // zero, so a double column with observed min -3.7 would suggest
+        // lo=-3 and the profiled table would FAIL its own suggested suite
+        // (ADVICE r3, medium). Integral columns are unaffected.
         spec.numericCols.flatMap(c => Seq(
           nulls(c),
-          min(col(c)).cast("long").as(s"${c}__min"),
-          max(col(c)).cast("long").as(s"${c}__max"))) ++
+          floor(min(col(c))).cast("long").as(s"${c}__min"),
+          ceil(max(col(c))).cast("long").as(s"${c}__max"))) ++
         spec.stringCols.flatMap(c => Seq(nulls(c)) ++
           (if (spec.enumCandidates.contains(c) || spec.keyCols.contains(c))
              Seq(count_distinct(col(c)).as(s"${c}__distinct"))
@@ -86,7 +99,7 @@ object ConstraintSuggestion {
         (if (spec.enumCandidates.contains(c))
           Seq(when(col(s"${c}__distinct").between(1, spec.maxEnumCard),
             struct(lit(c).as("column"), lit("enum").as("kind"),
-              concat_ws(",", col(s"${c}__vals")).as("param"))))
+              concat_ws(EnumSep, col(s"${c}__vals")).as("param"))))
          else Nil)) ++
       spec.arrayIntCols.flatMap(c => Seq(
         requiredRow(c),
@@ -114,7 +127,7 @@ object ConstraintSuggestion {
     rows.flatMap {
       case (c, "required", _) => Some(Required(c))
       case (c, "unique", _) => Some(Unique(c))
-      case (c, "enum", vs) => Some(EnumIn(c, vs.split(',').toSeq))
+      case (c, "enum", vs) => Some(EnumIn(c, vs.split(EnumSep).toSeq))
       case (c, "range", Range(lo, hi)) => Some(RangeBound(c, lo.toLong, hi.toLong))
       case (c, "elem_range", Range(lo, hi)) =>
         Some(ArrayElemRange(c, lo.toLong, hi.toLong))

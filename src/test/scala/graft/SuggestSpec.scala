@@ -47,7 +47,7 @@ class SuggestSpec extends SparkTestBase {
     assert(sugg.contains(("n_tok", "range", "[0,9999]")))
     // the unknown-source plant joins the proposed enum
     val enumParam = sugg.collectFirst { case ("source", "enum", p) => p }.get
-    assert(enumParam.split(',').contains("__unknown__"))
+    assert(enumParam.split(ConstraintSuggestion.EnumSep).contains("__unknown__"))
     assert(sugg.contains(("tokens", "required", "")))
     // the planted -1 element sets the observed element floor
     assert(sugg.collectFirst { case ("tokens", "elem_range", p) => p }
@@ -67,7 +67,7 @@ class SuggestSpec extends SparkTestBase {
   test("toConstraints maps every suggested kind it claims to support") {
     val cs = ConstraintSuggestion.toConstraints(Seq(
       ("a", "required", ""), ("a", "range", "[-5,10]"),
-      ("b", "enum", "x,y"), ("c", "elem_range", "[0,9]"),
+      ("b", "enum", Seq("x", "y").mkString(ConstraintSuggestion.EnumSep)), ("c", "elem_range", "[0,9]"),
       ("k", "unique", ""), ("c", "size_range", "[1,4]")))
     assert(cs.contains(Required("a")))
     assert(cs.contains(RangeBound("a", -5L, 10L)))
@@ -75,5 +75,31 @@ class SuggestSpec extends SparkTestBase {
     assert(cs.contains(ArrayElemRange("c", 0L, 9L)))
     assert(cs.contains(Unique("k")))
     assert(!cs.exists(_.id.contains("size_range")), "size_range is advisory-only")
+  }
+
+  test("double column round trip: floor/ceil bounds, not toward-zero truncation") {
+    // observed min -3.7 / max 5.7 must suggest [-4,6], NOT [-3,5] — a bare
+    // long cast truncates toward zero and the table would fail its own
+    // suggested RangeBound (ADVICE r3, medium)
+    val df = Seq(-3.7, 0.0, 5.7).toDF("x")
+    val sugg = ConstraintSuggestion.suggest(df, Spec(numericCols = Seq("x")))
+      .as[(String, String, String)].collect().toSeq
+    assert(sugg.contains(("x", "range", "[-4,6]")))
+    val rowCs = ConstraintSuggestion.toConstraints(sugg)
+      .collect { case r: RowConstraint => r }
+    assert(ConstraintCompiler.withPass(df, rowCs).filter(!col("_pass")).isEmpty,
+      "profiled table passes its own suggested suite")
+  }
+
+  test("enum values containing commas survive the round trip intact") {
+    val df = Seq("a,b", "c", "a,b", "c").toDF("s")
+    val sugg = ConstraintSuggestion.suggest(df,
+        Spec(stringCols = Seq("s"), enumCandidates = Seq("s")))
+      .as[(String, String, String)].collect().toSeq
+    val cs = ConstraintSuggestion.toConstraints(sugg)
+    assert(cs.contains(EnumIn("s", Seq("a,b", "c"))),
+      "a comma inside a value must not split it into bogus symbols")
+    val rowCs = cs.collect { case r: RowConstraint => r }
+    assert(ConstraintCompiler.withPass(df, rowCs).filter(!col("_pass")).isEmpty)
   }
 }
