@@ -562,6 +562,50 @@ object OracleSql {
       |       CAST(vec_id AS BIGINT) AS neighbor
       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // Full SQL mirror of the two-pass deterministic k-means fit behind the
+    // IVF codebook: init = the 4 smallest vec_ids (cid 0..3 in id order),
+    // pass 1 assigns every vector to its argmax-cosine centroid (ties →
+    // smallest cid) and takes per-(cid,pos) quantized coordinate means
+    // (floor(v·10^6) sums — exact integers, so the reduction order can't
+    // matter in either engine), pass 2 reassigns against those means and
+    // emits its sums. Multiple unnests in one SELECT zip positionally.
+    "ivf_fit" -> s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |initk AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      |          FROM e ORDER BY vec_id LIMIT 4),
+      |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ce FROM initk),
+      |a1 AS (SELECT e.vec_id, e.embedding, init.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |           ${dot("e.embedding", "init.ce")}
+      |           / (sqrt(${dot("e.embedding", "e.embedding")})
+      |              * sqrt(${dot("init.ce", "init.ce")})) DESC, init.cid) AS rn
+      |       FROM e CROSS JOIN init),
+      |x1 AS (SELECT cid,
+      |         unnest(range(0, len(embedding))) AS pos,
+      |         unnest(list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS q
+      |       FROM a1 WHERE rn = 1),
+      |c1 AS (SELECT cid, pos, CAST(sum(q) AS BIGINT) AS qsum,
+      |              CAST(count(*) AS BIGINT) AS cnt
+      |       FROM x1 GROUP BY cid, pos),
+      |cent1 AS (SELECT cid,
+      |            list(CAST(qsum AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+      |                 ORDER BY pos) AS ce
+      |          FROM c1 GROUP BY cid),
+      |a2 AS (SELECT e.vec_id, e.embedding, cent1.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |           ${dot("e.embedding", "cent1.ce")}
+      |           / (sqrt(${dot("e.embedding", "e.embedding")})
+      |              * sqrt(${dot("cent1.ce", "cent1.ce")})) DESC, cent1.cid) AS rn
+      |       FROM e CROSS JOIN cent1),
+      |x2 AS (SELECT cid,
+      |         unnest(range(0, len(embedding))) AS pos,
+      |         unnest(list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS q
+      |       FROM a2 WHERE rn = 1)
+      |SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS BIGINT) AS pos,
+      |       CAST(sum(q) AS BIGINT) AS qsum, CAST(count(*) AS BIGINT) AS cnt
+      |FROM x2 GROUP BY cid, pos ORDER BY cid, pos""".stripMargin,
+
     // Embedding-cosine near-dup: TWO-band bucket mirror of HyperplaneLsh
     // (band b uses plane indices p+16*b of the same integer plane family)
     // + exact cosine (index-ordered fold), rounded BEFORE the threshold

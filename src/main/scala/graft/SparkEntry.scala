@@ -66,6 +66,7 @@ object SparkEntry {
     "sim_topk" -> (Queries.simTopK _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
+    "ivf_fit" -> (Queries.ivfFit _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "seq_pack" -> (Queries.seqPack _),
     "tok_topfreq" -> (Queries.tokTopFreq _),

@@ -144,6 +144,18 @@ class CurationSpec extends SparkTestBase {
     assert(!got(4L)._4 && got(4L)._3, "eval-overlapping doc must drop via contamination")
   }
 
+  test("gate scans the train corpus ONCE (scores and decon grams share the scan)") {
+    // r3's gate called contaminationHits on train separately — a second
+    // full corpus pass at 100 TB (VERDICT r3 #4). Now the only train-side
+    // FileScan is the shared projection; the second scan is the eval set.
+    val train = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+    val eval = docs.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+    val plan = Curation.gate(train, eval, "text", "doc_id", Seq("the", "a"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 2, s"expected 1 train + 1 eval scan, got $scans:\n${plan.take(1200)}")
+  }
+
   test("redact masks digit runs globally and counts occurrences; non-matching rows pass through") {
     val df = Seq(
       (1L, "call 123456789 or 555123456 now"),

@@ -206,6 +206,62 @@ class OpsSpec extends SparkTestBase {
     assert(ann.subsetOf(brute))
   }
 
+  test("CentroidNearest matches the interpreted HOF formulation bit-for-bit") {
+    // the expression replaced array_sort(struct(-cosine, cid)) (VERDICT r3
+    // #3) under a bit-compatibility contract — hold it to the original
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    def hofProbes(e: org.apache.spark.sql.Column, nprobe: Int) =
+      transform(slice(array_sort(array(cents.map { case (cid, ce) =>
+        struct((-Knn.cosine(e, typedlit(ce))).as("negcos"), lit(cid).as("cid"))
+      }: _*)), 1, nprobe), s => s.getField("cid"))
+    val diff = emb.select(
+        Knn.ivfProbes(col("embedding"), cents, 3).as("fast"),
+        hofProbes(col("embedding"), 3).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+    assert(diff.count() === 0L)
+  }
+
+  test("k-means fit recovers planted clusters and is partition-invariant") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // two planted clusters around (1, eps) and (eps, 1); ids interleave so
+    // the id-order init starts with one seed per cluster
+    val rows = (0L until 100L).map { i =>
+      val e = (i % 13).toFloat / 100f
+      if (i % 2 == 0) Row(i, Seq(1f, e)) else Row(i, Seq(e, 1f))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 7), schema)
+    val fitted = Knn.fitCodebook(df, "vec_id", "embedding", k = 2, iters = 3)
+    assert(fitted.size === 2)
+    // every row lands in its own cluster's list
+    val assigned = df.select(col("vec_id"),
+        Knn.ivfAssign(col("embedding"), fitted).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(assigned.forall { case (id, cid) => cid === id % 2 })
+    // quantized-integer reduction ⇒ the codebook is bit-identical under a
+    // different partitioning (the N vs 4N executor invariance at scale)
+    val fitted2 = Knn.fitCodebook(df.repartition(2), "vec_id", "embedding", 2, 3)
+    assert(fitted.map { case (c, v) => (c, v.toSeq) } ===
+      fitted2.map { case (c, v) => (c, v.toSeq) })
+  }
+
+  test("IVF with a FITTED codebook still returns only real corpus neighbors") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val fitted = Knn.fitCodebook(emb.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 4, iters = 2)
+    val q = emb.filter(col("vec_id") < 3)
+    val ann = Knn.ivfTopK(emb, q, "vec_id", "embedding", 5, fitted)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    val brute = Knn.cosineTopK(emb, q, "vec_id", "embedding", emb.count().toInt)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    assert(ann.nonEmpty)
+    assert(ann.subsetOf(brute))
+  }
+
   test("multimodal: mapPartitions stub decode agrees with the column twin") {
     val viaBatch = MediaPipeline.decodeMeta(MediaPipeline.fromDocuments(docs))
       .select(col("media_id").as("doc_id"), col("n_bytes"), col("width"),
