@@ -640,6 +640,58 @@ object OracleSql {
       |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, cos
       |FROM p WHERE cos >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Capped (scale-mode) embedding dedup: same two-band bucketing, but a
+    // planted 41-member dense bucket (vec 0 + 40 clones) exceeds
+    // maxBucket=20 in both bands, so those buckets emit the id-ordered
+    // successor CHAIN (lead over vec_id) instead of all-pairs — exactly
+    // Dedup.embeddingPairs' windowed cap path; small buckets keep the
+    // pair-complete self-join. UNION dedupes cross-band collisions like
+    // the Spark side's dropDuplicates.
+    "dedup_embedding_capped" -> s"""WITH e AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT 300000 + x.u AS vec_id, e0.embedding
+      |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) e0
+      |  CROSS JOIN (SELECT unnest(range(0, 40)) AS u) x),
+      |b AS (SELECT vec_id,
+      |  list_reduce(list_prepend(0, list_transform(range(0, 16), p ->
+      |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(0, len(embedding)),
+      |             i -> CAST(embedding[i+1] AS DOUBLE) * ((p*12289 + i*331) % 997 - 498))),
+      |           (a, x) -> a + x) > 0 THEN 1 ELSE 0 END)),
+      |    (acc, bb) -> acc*2 + bb) AS bucket0,
+      |  list_reduce(list_prepend(0, list_transform(range(16, 32), p ->
+      |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(0, len(embedding)),
+      |             i -> CAST(embedding[i+1] AS DOUBLE) * ((p*12289 + i*331) % 997 - 498))),
+      |           (a, x) -> a + x) > 0 THEN 1 ELSE 0 END)),
+      |    (acc, bb) -> acc*2 + bb) AS bucket1
+      |  FROM e),
+      |t AS (SELECT vec_id, 0 AS band, bucket0 AS bucket FROM b
+      |      UNION ALL
+      |      SELECT vec_id, 1 AS band, bucket1 AS bucket FROM b),
+      |sized AS (SELECT vec_id, band, bucket,
+      |            count(*) OVER (PARTITION BY band, bucket) AS n,
+      |            lead(vec_id) OVER (PARTITION BY band, bucket
+      |                               ORDER BY vec_id) AS nxt
+      |          FROM t),
+      |cand AS (
+      |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+      |  FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket
+      |   AND x.vec_id < y.vec_id
+      |  WHERE x.n <= 20 AND y.n <= 20
+      |  UNION
+      |  SELECT vec_id AS doc_a, nxt AS doc_b FROM sized
+      |  WHERE n > 20 AND nxt IS NOT NULL),
+      |p AS (SELECT c.doc_a, c.doc_b,
+      |        round(${dot("ea.embedding", "eb.embedding")}
+      |          / (sqrt(${dot("ea.embedding", "ea.embedding")})
+      |             * sqrt(${dot("eb.embedding", "eb.embedding")})), 6) AS cos
+      |      FROM cand c JOIN e ea ON ea.vec_id = c.doc_a
+      |                  JOIN e eb ON eb.vec_id = c.doc_b)
+      |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, cos
+      |FROM p WHERE cos >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+
     // Transitive dup groups: recursive-CTE reachability over the ALL-PAIRS
     // exact near-dup ground truth (quadratic by design, like nd_pairs —
     // sf0.01 gate only); group_id = min reachable id including self

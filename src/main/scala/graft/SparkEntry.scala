@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
+    "dedup_embedding_capped" -> (Queries.dedupEmbeddingCapped _),
     "dedup_groups" -> (Queries.dedupGroups _),
     "sim_topk" -> (Queries.simTopK _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),

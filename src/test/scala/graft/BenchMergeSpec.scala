@@ -62,4 +62,28 @@ class BenchMergeSpec extends AnyFunSuite {
     val prevNoMarker = "Scaling efficiency (8 -> 32 cores = N -> 4N): **0.9** but no table"
     assert(Bench.mergeBaseline(Some(prevNoMarker), md, 0.30, 0.0, 0.0) == md)
   }
+
+  test("driver stdout line stays inside the tail-capture budget at future suite size") {
+    // BENCH_r03: an oversized final line gives rc=0 + parsed:null — the
+    // official record empties silently. Budget-check against a query map
+    // LARGER than the real suite (with names at the real suite's longest)
+    // so new operators can't overflow it unnoticed.
+    val names = SparkEntry.queries.keys.toSeq
+    val longest = names.map(_.length).max
+    val pad = (1 to 15).map(i => f"future_operator_$i%02d")
+    val qs = (names ++ pad).map(n => "\"" + n + "\":" + f"${12.34}%.2f")
+      .mkString("{", ",", "}")
+    // realistic worst-width scaling block (large rows, 3-digit walls)
+    val scaling =
+      """{"rows":200000000,"cores8_sec":114.75,"cores32_sec":46.35,""" +
+      """"rows_per_sec_32":4315000,"efficiency":0.619,""" +
+      """"steal8_pct":0.4,"steal32_pct":1.2,""" +
+      """"rounds":6,"storage_rows_per_sec_32":3960000}"""
+    val line = Bench.driverLine(999.999, qs, "/root/testdata/sf0.1", scaling)
+    assert(longest <= 24, s"a query name grew past the budget assumption: $longest")
+    assert(line.length <= Bench.DriverLineBudget,
+      s"driver line ${line.length} chars > budget ${Bench.DriverLineBudget}")
+    // and it is one single line — a stray newline would also break the tail parse
+    assert(!line.contains("\n"))
+  }
 }

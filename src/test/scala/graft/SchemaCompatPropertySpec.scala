@@ -1,0 +1,211 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.compile.{ConstraintCompiler, Defaults}
+import graft.schema._
+
+/** VERDICT r3 #8: SchemaCompat is metadata-only — this property links its
+  * finding taxonomy to ACTUAL engine behavior. For generated (old, new)
+  * schema pairs and data valid-by-construction under old:
+  *
+  *   SchemaCompat.compatible(new, old) == true
+  *     ⟹  validating the old data through the new schema's reader path
+  *         (missing columns nulled, defaults applied, constraint pass)
+  *         yields ZERO new violations.
+  *
+  * The converse is deliberately NOT asserted: incompatible is a
+  * conservative verdict (regex containment is undecidable; a tightened
+  * range may happen to contain all sampled values), so incompatible pairs
+  * are only required to never crash the checker. Seeds are fixed
+  * (deterministic CI); each trial is one small Spark job.
+  */
+class SchemaCompatPropertySpec extends SparkTestBase {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  // ---- schema generators -------------------------------------------------
+
+  private val symbolPool = Vector("aa", "bb", "cc", "dd", "ee")
+
+  // data strings are lowercase alpha, valid under every regex in the pool —
+  // regex COMPATIBILITY still varies (only identical regexes are provably
+  // compatible), which is exactly the conservatism under test
+  private val regexPool = Vector(None, Some("^[a-z]+$"), Some("^[a-z]{1,16}$"))
+
+  private def boundsGen: Gen[(Long, Long)] = for {
+    lo <- Gen.choose(-50L, 50L)
+    w  <- Gen.choose(0L, 100L)
+  } yield (lo, lo + w)
+
+  private def specGen(name: String): Gen[FieldSpec] = Gen.oneOf(
+    for { // text: optional regex / default
+      req <- Gen.oneOf(true, false)
+      re  <- Gen.oneOf(regexPool)
+      d   <- Gen.oneOf(None, Some("abc"))
+    } yield FieldSpec(name, TextT, required = req, regex = re, default = d),
+    for { // int: width + optional [min,max] (RangeBound needs both)
+      s        <- Gen.oneOf(2, 4, 8)
+      req      <- Gen.oneOf(true, false)
+      bounded  <- Gen.oneOf(true, false)
+      (lo, hi) <- boundsGen
+    } yield
+      if (bounded) FieldSpec(name, IntT(s), required = req, min = Some(lo), max = Some(hi))
+      else FieldSpec(name, IntT(s), required = req),
+    for { // enum over a sorted subset of the pool
+      n   <- Gen.choose(1, symbolPool.size)
+      vs  <- Gen.pick(n, symbolPool)
+      req <- Gen.oneOf(true, false)
+    } yield FieldSpec(name, EnumT(vs.toSeq.sorted), required = req),
+    for { // array<int32> with element bounds (or none)
+      bounded  <- Gen.oneOf(true, false)
+      (lo, hi) <- boundsGen
+    } yield
+      if (bounded) FieldSpec(name, ListT(IntT(4), elemMin = Some(lo), elemMax = Some(hi)))
+      else FieldSpec(name, ListT(IntT(4))),
+    Gen.oneOf(true, false).map(req => FieldSpec(name, FloatT(8), required = req)),
+    Gen.const(FieldSpec(name, BoolT)))
+
+  private def schemaGen: Gen[RecordSchema] = for {
+    n     <- Gen.choose(2, 4)
+    specs <- Gen.sequence[Seq[FieldSpec], FieldSpec]((1 to n).map(i => specGen(s"f$i")))
+  } yield RecordSchema("Prop", specs, autoRegister = false)
+
+  /** Evolve: per field keep / drop / same-family mutate / full re-gen,
+    * plus sometimes one added field (fresh name, arbitrary spec). The
+    * same-family bias produces the interesting COMPATIBLE evolutions
+    * (widened int, extended enum, loosened bounds, defaulted required).
+    */
+  private def evolveGen(old: RecordSchema): Gen[RecordSchema] = {
+    def mutate(f: FieldSpec): Gen[FieldSpec] = f.ftype match {
+      case IntT(_) => for {
+        s2       <- Gen.oneOf(2, 4, 8)
+        req2     <- Gen.oneOf(true, false)
+        keepB    <- Gen.oneOf(0, 1, 2) // 0 keep bounds, 1 widen/drop, 2 re-gen
+        (lo, hi) <- boundsGen
+      } yield keepB match {
+        case 0 => f.copy(ftype = IntT(s2), required = req2)
+        case 1 => f.copy(ftype = IntT(s2), required = req2,
+          min = f.min.map(_ - 10), max = f.max.map(_ + 10))
+        case _ => f.copy(ftype = IntT(s2), required = req2,
+          min = Some(lo), max = Some(hi))
+      }
+      case EnumT(vs) => for {
+        drop <- Gen.oneOf(true, false)
+        add  <- Gen.oneOf(true, false)
+      } yield {
+        val dropped = if (drop && vs.size > 1) vs.tail else vs
+        val added = if (add) (dropped ++ symbolPool.take(2)).distinct.sorted else dropped
+        f.copy(ftype = EnumT(added))
+      }
+      case TextT => for {
+        re   <- Gen.oneOf(regexPool)
+        req2 <- Gen.oneOf(true, false)
+        d2   <- Gen.oneOf(f.default, Some("dflt"))
+      } yield f.copy(regex = re, required = req2, default = d2)
+      case lt: ListT => Gen.oneOf(
+        Gen.const(f.copy(ftype = lt.copy(elemMin = lt.elemMin.map(_ - 5),
+          elemMax = lt.elemMax.map(_ + 5)))),
+        boundsGen.map { case (lo, hi) =>
+          f.copy(ftype = lt.copy(elemMin = Some(lo), elemMax = Some(hi))) })
+      case _ => specGen(f.name) // float/bool: free re-gen
+    }
+    for {
+      kept <- Gen.sequence[Seq[Option[FieldSpec]], Option[FieldSpec]](old.fields.map { f =>
+        Gen.frequency[Option[FieldSpec]](
+          4 -> Gen.const(Some(f)),          // unchanged
+          1 -> Gen.const(None),             // removed
+          4 -> mutate(f).map(Some(_)),      // same-family evolution
+          1 -> specGen(f.name).map(Some(_)) // arbitrary retype
+        )
+      })
+      extra <- Gen.frequency(
+        2 -> Gen.const(Seq.empty[FieldSpec]),
+        1 -> specGen("f9").map(Seq(_)))
+    } yield RecordSchema("PropV2", kept.flatten ++ extra, autoRegister = false)
+  }
+
+  // ---- data valid-by-construction under the OLD schema -------------------
+
+  private def valueGen(f: FieldSpec): Gen[Any] = {
+    val v: Gen[Any] = f.ftype match {
+      case TextT =>
+        Gen.choose(1, 8).flatMap(n =>
+          Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+      case it @ IntT(s) =>
+        val lo = math.max(f.min.getOrElse(it.lo), it.lo)
+        val hi = math.min(f.max.getOrElse(it.hi), it.hi)
+        Gen.choose(lo, hi).map { x =>
+          if (s == 2) x.toShort else if (s == 4) x.toInt else x
+        }
+      case EnumT(vs) => Gen.oneOf(vs)
+      case lt: ListT =>
+        val lo = lt.elemMin.getOrElse(0L)
+        val hi = lt.elemMax.getOrElse(100L)
+        Gen.listOf(Gen.choose(lo, hi).map(_.toInt)).map(_.toSeq)
+      case FloatT(_) => Gen.choose(-1000.0, 1000.0)
+      case BoolT     => Gen.oneOf(true, false)
+      case other     => sys.error(s"no generator for $other")
+    }
+    if (f.required) v
+    else Gen.frequency(4 -> v, 1 -> Gen.const(null: Any))
+  }
+
+  private def dataGen(schema: RecordSchema, rows: Int): Gen[Seq[Row]] =
+    Gen.listOfN(rows,
+      Gen.sequence[Seq[Any], Any](schema.fields.map(valueGen)).map(Row.fromSeq))
+
+  private def df(schema: RecordSchema, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(schema.fields.map(_.structField.copy(nullable = true))))
+
+  /** The reader path: missing new columns nulled, defaults applied, then
+    * the compiled constraint pass. Returns total violation count.
+    */
+  private def violationsUnder(d: DataFrame, s: RecordSchema): Long = {
+    val asRead = s.fields.foldLeft(d) { (acc, f) =>
+      if (acc.columns.contains(f.name)) acc
+      else acc.withColumn(f.name, lit(null).cast(f.ftype.dataType))
+    }
+    val loaded = Defaults(asRead, s)
+    val cs = s.rowConstraints
+    if (cs.isEmpty) 0L
+    else ConstraintCompiler.withCounts(loaded, cs)
+      .agg(coalesce(sum(col(ConstraintCompiler.VCountCol).cast("long")), lit(0L)))
+      .head().getLong(0)
+  }
+
+  test("compatible == true implies zero new violations on old-valid data (40 seeded pairs)") {
+    var compatibleNonTrivial = 0
+    var incompatibleSeen = 0
+    (1 to 40).foreach { t =>
+      val seed = 1234L + t * 77
+      val oldS = sample(schemaGen, seed)
+      val newS = sample(evolveGen(oldS), seed + 1)
+      val rows = sample(dataGen(oldS, 60), seed + 2)
+      val data = df(oldS, rows)
+
+      // sanity: the generator really does produce old-valid data
+      assert(violationsUnder(data, oldS) === 0L,
+        s"trial $t: generator produced data violating its OWN schema $oldS")
+
+      val findings = SchemaCompat.check(newS, oldS)
+      if (findings.forall(_.compatible)) {
+        assert(violationsUnder(data, newS) === 0L,
+          s"trial $t: SchemaCompat said compatible but the validator flags " +
+            s"old data.\nold=$oldS\nnew=$newS\nfindings=$findings")
+        if (findings.nonEmpty) compatibleNonTrivial += 1
+      } else incompatibleSeen += 1
+    }
+    // the property must not be vacuous: demand real coverage of both sides
+    assert(compatibleNonTrivial >= 5,
+      s"only $compatibleNonTrivial non-trivial compatible evolutions generated")
+    assert(incompatibleSeen >= 5,
+      s"only $incompatibleSeen incompatible evolutions generated")
+  }
+}
