@@ -362,6 +362,14 @@ object OracleSql {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // bucketing changes layout, never results — the oracle is the plain
+    // join+agg (identical to q_join_large's, which the row cross-checks)
+    "q_join_bucketed" -> """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_topk" -> """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(20,2)) AS price
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
@@ -639,6 +647,29 @@ object OracleSql {
       |       AND x.vec_id < y.vec_id)
       |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, cos
       |FROM p WHERE cos >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Line-level boilerplate dedup: 10-word chunk "lines" (1-based
+    // inclusive list slice = Spark's slice(arr, i*10+1, 10)), planted
+    // footer line on doc_id%7==0, a line stripped when >= 2 distinct docs
+    // carry it; per-doc re-assembly ordered by chunk position (string_agg
+    // skips the NULLed dup lines exactly like Spark's filter+array_join)
+    "dedup_lines" -> """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |l0 AS (SELECT doc_id, i AS pos,
+      |         array_to_string(words[(i*10+1):(i*10+10)], ' ') AS line
+      |       FROM d, unnest(range(0, CAST(ceil(len(words)/10.0) AS BIGINT))) AS t(i)),
+      |l AS (SELECT doc_id, pos, line FROM l0
+      |      UNION ALL
+      |      SELECT doc_id, 1000000 AS pos,
+      |             'subscribe now click here to follow us and sign up' AS line
+      |      FROM documents WHERE doc_id % 7 = 0),
+      |g AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      |k AS (SELECT l.doc_id, l.pos, l.line, (g.line IS NOT NULL) AS dup
+      |      FROM l LEFT JOIN g ON l.line = g.line)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN NOT dup THEN line END, ' ' ORDER BY pos), '') AS clean_text,
+      |  CAST(coalesce(sum(CASE WHEN dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS removed
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Capped (scale-mode) embedding dedup: same two-band bucketing, but a
     // planted 41-member dense bucket (vec 0 + 40 clones) exceeds

@@ -10,6 +10,7 @@ import graft.constraint._
 import graft.dedup.Dedup
 import graft.drift.DriftCheck
 import graft.gen.SyntheticTokens
+import graft.io.Bucketed
 import graft.json.{AvroJsonCodec, JsonCodec}
 import graft.multimodal.MediaPipeline
 import graft.ref.ReferentialCheck
@@ -422,6 +423,30 @@ object Queries {
         sum(cents(col("l_extendedprice"))).as("rev_c"))
       .orderBy(col("o_orderstatus"))
 
+  /** Co-located bucketed join (the 100 TB answer to q_join_large's
+    * per-query shuffle): both sides written ONCE with bucketBy(8, key) +
+    * sortBy, then the equi-join runs with zero Exchange under it (asserted
+    * in PlanSpec) — layout cost at ingest, no shuffle per query. Same
+    * aggregate as q_join_large, so the result doubles as a cross-check of
+    * the bucketed scan path against the shuffle path.
+    */
+  def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode.toLong & 0xffffffffL).toHexString
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_bucketed_$tag").getAbsolutePath
+    val lt = Bucketed.table(
+      li(s, dir).select(col("l_orderkey"), col("l_extendedprice")),
+      s"graft_li_$tag", "l_orderkey", 8, s"$base/li")
+    val ot = Bucketed.table(
+      orders(s, dir).select(col("o_orderkey"), col("o_orderstatus")),
+      s"graft_ord_$tag", "o_orderkey", 8, s"$base/ord")
+    Bucketed.colocatedJoin(s, lt, ot, "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice"))).as("rev_c"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def qTopK(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -566,6 +591,54 @@ object Queries {
       .select(col("doc_a").cast("long").as("doc_a"),
         col("doc_b").cast("long").as("doc_b"), col("cos"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Line-level (boilerplate) dedup — the C4/RefinedWeb staple the doc-level
+    * flavors can't express: a LINE shared across >= 2 distinct docs is
+    * boilerplate and is stripped from every doc, order-preserved. The
+    * corpus text is single-line, so "lines" are deterministic 10-word
+    * chunks (mirrored formula-for-formula in the oracle), plus a planted
+    * boilerplate footer line on every doc_id%7==0 doc; organic hits come
+    * from the corpus's exact-duplicate texts (all their chunks collide).
+    *
+    * Scale shape: explode is linear fan-out, the line count is ONE
+    * partial+final aggregate (countDistinct keeps within-doc repeats
+    * honest), and the strip is a line-key join back + per-doc re-assembly
+    * via one doc_id shuffle (collect_list + array_sort on (pos, ...) —
+    * order restored without a window). At 100 TB the line-key join can be
+    * hash-compacted exactly like SaltedUniqueness (8-byte xxhash64 keys,
+    * string re-verify on match) — kept plain here for oracle parity.
+    */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val footer = "subscribe now click here to follow us and sign up"
+    val chunked = docs(s, dir).select(col("doc_id"),
+      split(col("text"), " ").as("_ws"))
+      .select(col("doc_id"), transform(
+        sequence(lit(0), ceil(size(col("_ws")) / 10.0).cast("int") - 1),
+        i => array_join(slice(col("_ws"), i * 10 + 1, lit(10)), " ")).as("_lines"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          concat(col("_lines"), array(lit(footer))))
+          .otherwise(col("_lines")).as("_lines"))
+    val lined = chunked.select(col("doc_id"),
+      posexplode(col("_lines")).as(Seq("pos", "line")))
+    val dups = lined.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("line"), lit(true).as("_dup"))
+    lined.join(dups, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("line"),
+                coalesce(col("_dup"), lit(false)).as("dup")))),
+              x => !x.getField("dup")),
+            x => x.getField("line")),
+          " ").as("clean_text"),
+        sum(when(col("_dup"), 1L).otherwise(0L)).as("removed"))
+      .orderBy(col("doc_id"))
   }
 
   /** Transitive duplicate-group assembly (VERDICT r2 "What's missing" #2):

@@ -50,6 +50,7 @@ object SparkEntry {
     "q_filter_pushdown" -> (Queries.qFilterPushdown _),
     "q_join_agg" -> (Queries.qJoinAgg _),
     "q_join_large" -> (Queries.qJoinLarge _),
+    "q_join_bucketed" -> (Queries.qJoinBucketed _),
     "q_topk" -> (Queries.qTopK _),
     "q_window" -> (Queries.qWindow _),
     "q_setops" -> (Queries.qSetOps _),
@@ -63,6 +64,7 @@ object SparkEntry {
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "dedup_embedding_capped" -> (Queries.dedupEmbeddingCapped _),
+    "dedup_lines" -> (Queries.dedupLines _),
     "dedup_groups" -> (Queries.dedupGroups _),
     "sim_topk" -> (Queries.simTopK _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),

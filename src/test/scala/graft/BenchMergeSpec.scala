@@ -75,10 +75,10 @@ class BenchMergeSpec extends AnyFunSuite {
       .mkString("{", ",", "}")
     // realistic worst-width scaling block (large rows, 3-digit walls)
     val scaling =
-      """{"rows":200000000,"cores8_sec":114.75,"cores32_sec":46.35,""" +
-      """"rows_per_sec_32":4315000,"efficiency":0.619,""" +
-      """"steal8_pct":0.4,"steal32_pct":1.2,""" +
-      """"rounds":6,"storage_rows_per_sec_32":3960000}"""
+      """{"rows":200000000,"t8_sec":114.75,"t32_sec":46.35,""" +
+      """"rps32":4315000,"efficiency":0.619,""" +
+      """"steal8":0.4,"steal32":1.2,""" +
+      """"rounds":6,"storage_rps32":3960000}"""
     val line = Bench.driverLine(999.999, qs, "/root/testdata/sf0.1", scaling)
     assert(longest <= 24, s"a query name grew past the budget assumption: $longest")
     assert(line.length <= Bench.DriverLineBudget,
