@@ -742,6 +742,40 @@ object OracleSql {
       |       doc_id = group_id AS keep
       |FROM grp ORDER BY group_id, doc_id""".stripMargin,
 
+    // Quality-aware canonical election: reachability groups (as in
+    // dedup_groups) joined to the text_quality formula over nd_corpus;
+    // winner = (quality DESC, words DESC, doc_id) row_number 1
+    "dedup_keep_best" -> s"""WITH RECURSIVE $NearDupPairs,
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM nd_pairs
+      |  UNION
+      |  SELECT doc_b AS s, doc_a AS d FROM nd_pairs),
+      |reach(s, d) AS (
+      |  SELECT s, d FROM edges
+      |  UNION
+      |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+      |grp AS (
+      |  SELECT s AS doc_id, least(s, min(d)) AS group_id
+      |  FROM reach GROUP BY s),
+      |q AS (SELECT doc_id,
+      |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS words,
+      |        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |             w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS stops
+      |      FROM nd_corpus),
+      |sc AS (SELECT doc_id, words,
+      |         CASE WHEN words >= 50 AND stops > 0 THEN CAST(2 AS BIGINT)
+      |              WHEN words >= 20 THEN CAST(1 AS BIGINT)
+      |              ELSE CAST(0 AS BIGINT) END AS quality
+      |       FROM q),
+      |r AS (SELECT g.group_id, g.doc_id, sc.quality,
+      |        row_number() OVER (PARTITION BY g.group_id
+      |          ORDER BY sc.quality DESC, sc.words DESC, g.doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY g.group_id) AS n_members
+      |      FROM grp g JOIN sc USING (doc_id))
+      |SELECT CAST(group_id AS BIGINT) AS group_id, CAST(doc_id AS BIGINT) AS best_id,
+      |       quality AS best_quality, CAST(n_members AS BIGINT) AS n_members
+      |FROM r WHERE rn = 1 ORDER BY group_id""".stripMargin,
+
     "sample_stratified" -> """WITH rates(key, permille) AS (VALUES ('en', 250), ('zh', 500))
       |SELECT d.doc_id, d.lang, d.source,
       |       ((d.doc_id % 1000003) * 2654435761 + 12345) % 1000 AS bucket

@@ -654,6 +654,41 @@ object Queries {
       "doc_a", "doc_b")
       .orderBy(col("group_id"), col("doc_id"))
 
+  /** Quality-aware canonical selection per transitive dup group: instead
+    * of dedup_groups' min-id `keep`, each group elects the member a real
+    * curation pipeline would retain — highest quality bucket, then most
+    * words, then min id for determinism. One summary row per group
+    * (best_id, best_quality, n_members). The oracle recomputes groups via
+    * recursive-CTE reachability AND the quality formula in SQL, so the
+    * election itself is hash-checked.
+    *
+    * Scale shape: scoring is a shuffle-free projection; groups are
+    * anomaly-sized (dup components), so the group_id window partitions
+    * are tiny and the join back to scores is one doc_id shuffle.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val groups = Dedup.duplicateGroups(
+      Dedup.minhashLshPairs(corpus, "text", "doc_id", 0.3), "doc_a", "doc_b")
+    val stops = Seq("the", "a", "of")
+    val scored = corpus.select(col("doc_id"),
+      TextAnalysis.wordCount(col("text")).as("words"),
+      TextAnalysis.stopwordCount(col("text"), stops).as("stops"),
+      TextAnalysis.punctCount(col("text")).as("punct"))
+      .withColumn("quality",
+        TextAnalysis.qualityBucket(col("words"), col("stops"), col("punct")))
+    val byBest = Window.partitionBy(col("group_id"))
+      .orderBy(col("quality").desc, col("words").desc, col("doc_id").asc)
+    groups.join(scored, Seq("doc_id"))
+      .withColumn("rn", row_number().over(byBest))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("group_id"))))
+      .filter(col("rn") === 1)
+      .select(col("group_id"), col("doc_id").as("best_id"),
+        col("quality").as("best_quality"), col("n_members"))
+      .orderBy(col("group_id"))
+  }
+
   /** CUBE over order dimensions (grouping-sets breadth — SURVEY §2.2
     * grouping row; partition_summary covers ROLLUP): all four grouping-set
     * combinations with grouping flags disambiguating aggregate NULLs.

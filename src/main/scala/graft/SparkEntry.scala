@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_embedding_capped" -> (Queries.dedupEmbeddingCapped _),
     "dedup_lines" -> (Queries.dedupLines _),
     "dedup_groups" -> (Queries.dedupGroups _),
+    "dedup_keep_best" -> (Queries.dedupKeepBest _),
     "sim_topk" -> (Queries.simTopK _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
