@@ -87,6 +87,28 @@ class PlanSpec extends SparkTestBase {
     assert(treeCount(plan, "Exchange") == 2, plan)
   }
 
+  test("Validator.violations scans the fact side exactly 3x (fused row+ref, unique, drift)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_fused").toString
+    // dirty corpus: real duplicate keys keep the uniqueness branch alive —
+    // with a clean corpus its dup-hash LocalRelation is EMPTY and Catalyst
+    // folds the whole branch (and its scan) away via empty-relation
+    // propagation, which is itself the right plan
+    io.write(SyntheticTokens.dirtyFrom(spark, dir).drop("orig"), path)
+    val fact = io.read(path)
+    val dim = spark.range(0L, 20L, 1L, 1)
+      .select(concat(lit("src"), col("id").cast("string")).as("source"))
+    val plan = planString(graft.run.Validator.violations(
+      fact, TokenSchema.sequences, "doc_id", Map("sources" -> dim)))
+    // formatted explain prints each Scan once in the tree and once in the
+    // detail section — halve the raw count
+    val factScans = "Scan parquet".r.findAllIn(plan).size / 2
+    assert(factScans == 3,
+      s"expected 3 fact scans (row+ref fused, unique, drift), got $factScans:\n" +
+        plan.take(1500))
+    // the referential check still rides a broadcast, never a fact shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("bucketed co-located join runs with ZERO exchange under the join") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     val lt = graft.io.Bucketed.table(
