@@ -63,6 +63,31 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(Bench.mergeBaseline(Some(prevNoMarker), md, 0.30, 0.0, 0.0) == md)
   }
 
+  test("throughput record keeps the max across runs, independent of the efficiency block") {
+    val md1 = record(0.60, "| q1_agg | 0.5 |")
+    // first run: line appended with this run's numbers
+    val out1 = Bench.mergeBaseline(None, md1, 0.60, 0.1, 0.2,
+      rps32 = 5095412L, t8 = 76.53, t32 = 39.25)
+    assert(out1.contains("**5,095,412** validated seq/s at 32 cores (t8 76.53 s, t32 39.25 s"))
+    // later run: HIGHER efficiency (block promoted) but LOWER throughput —
+    // the throughput record must survive from the previous run
+    val md2 = record(0.70, "| q1_agg | 0.4 |")
+    val out2 = Bench.mergeBaseline(Some(out1), md2, 0.70, 0.1, 0.2,
+      rps32 = 4315174L, t8 = 114.75, t32 = 46.35)
+    assert(out2.contains("**0.7**"), "better efficiency block promoted")
+    assert(out2.contains("**5,095,412** validated seq/s"), "best throughput retained")
+    assert(!out2.contains("4,315,174"), "slower run does not clobber the record")
+    // and a lower-efficiency run with HIGHER throughput updates only the line
+    val md3 = record(0.45, "| q1_agg | 0.6 |")
+    val out3 = Bench.mergeBaseline(Some(out2), md3, 0.45, 0.1, 0.2,
+      rps32 = 5500000L, t8 = 80.0, t32 = 36.36)
+    assert(out3.contains("**0.7**"), "efficiency block retained")
+    assert(out3.contains("**5,500,000** validated seq/s"), "throughput record advanced")
+    assert(out3.contains("Provenance"), "retained block discloses the newer run")
+    // exactly one throughput line survives the merge chain
+    assert("Throughput record:".r.findAllIn(out3).size == 1, out3)
+  }
+
   test("driver stdout line stays inside the tail-capture budget at future suite size") {
     // BENCH_r03: an oversized final line gives rc=0 + parsed:null — the
     // official record empties silently. Budget-check against a query map
