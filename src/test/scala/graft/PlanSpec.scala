@@ -109,6 +109,41 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("AQE splits a skewed shuffle-join partition (skew mitigation live, not just enabled)") {
+    // north-star line item: "AQE skew-join mitigation". One hot key carries
+    // half the fact rows; thresholds are lowered so sandbox-size skew
+    // triggers the SAME OptimizeSkewedJoin rule that handles production
+    // skew — the assertion is on the EXECUTED adaptive plan, so this
+    // proves the mitigation fires, not merely that the flag is set.
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "200k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100k")
+      val fact = spark.range(0L, 50000L, 1L, 8).select(
+        when(col("id") % 2 === 0, lit(7L)).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("payload"))
+      val dim = spark.range(0L, 50000L, 1L, 8)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = fact.join(dim, Seq("k"))
+      assert(joined.count() === 50000L) // hot key matches exactly one dim row
+      joined.collect() // finalize joined's OWN adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"skew-join mitigation did not fire:\n${plan.take(2000)}")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("bucketed co-located join runs with ZERO exchange under the join") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     val lt = graft.io.Bucketed.table(
