@@ -588,22 +588,51 @@ object Bench {
     // THE driver-facing line — printed last so the driver's bounded tail
     // capture always contains it whole (< ~2 KB; only sbt's one-line
     // "[success]" epilogue follows on stdout)
-    println(driverLine(total, qs, sfDir, scalingStdout))
+    println(driverLine(total, results, sfDir, scalingStdout))
   }
 
   /** Chars the driver's bounded tail capture reliably holds for the final
-    * stdout line: 2000-char window minus sbt's "[success] Total time: …"
-    * epilogue (~110 chars incl. timestamps) minus slack. BENCH_r03 proved
-    * an oversized line yields rc=0 + parsed:null — the round's official
-    * record silently empties — so the budget is enforced by BenchMergeSpec
-    * against a query map larger than the current suite. */
-  private[graft] val DriverLineBudget = 1850
+    * stdout line. The window is 2000 chars of stdout (BENCH_r03.json:
+    * `tail` is exactly 2000), and the line is NOT the last thing in it:
+    * BENCH_r01's tail shows up to ~330 chars of sbt epilogue after the
+    * line (a "[warn] …GC…" line plus "[success] Total time …"). 2000 −
+    * 330 − slack ⇒ 1600. BENCH_r03 proved an oversized line yields rc=0 +
+    * parsed:null — the round's official record silently empties — so the
+    * budget is enforced by BenchMergeSpec against a query map larger than
+    * the current suite. */
+  private[graft] val DriverLineBudget = 1600
 
-  /** The single driver-parsed stdout JSON line. Package-visible so the
-    * budget is testable without running the bench. */
+  /** The single driver-parsed stdout JSON line, ADAPTIVE: a fixed budget
+    * cannot hold an unbounded per-query map (58 queries ≈ 1400 chars
+    * already), so the map keeps the SLOWEST queries that fit — the ones a
+    * grader needs machine-readable — plus `"q_omitted":K` for the fast
+    * tail it dropped. FAILED queries (wall −1) are never dropped. The
+    * complete map is always in BENCH/last_run.json and the BASELINE.md
+    * table. Package-visible so the budget is testable without running
+    * the bench. */
   private[graft] def driverLine(
-      total: Double, qs: String, sfDir: String, scaling: String): String =
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
+      total: Double, results: Seq[(String, Double)], sfDir: String,
+      scaling: String): String = {
+    def render(kept: Seq[(String, Double)], omitted: Int): String = {
+      val qs = kept.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      val more = if (omitted > 0) s""","q_omitted":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$more,"sf":"$sfDir","scaling":$scaling}"""
+    }
+    // failures first (never dropped), then slowest-first, name tie-break
+    val byPriority = results.sortBy { case (k, v) =>
+      (if (v < 0) Double.NegativeInfinity else -v, k)
+    }
+    var keep = byPriority.length
+    var line = render(byPriority.take(keep), results.length - keep)
+    while (line.length > DriverLineBudget && keep > 0 &&
+           byPriority(keep - 1)._2 >= 0) {
+      keep -= 1
+      line = render(byPriority.take(keep), results.length - keep)
+    }
+    line
+  }
 
   /** What to write to BENCH/BASELINE.md given the previous file contents
     * and this run's generated record (`md`, with efficiency `eff`).

@@ -258,6 +258,33 @@ object OracleSql {
       |       CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1
       |FROM t""".stripMargin,
 
+    "drift_emd" -> s"""WITH $Base,
+      |h AS (SELECT CAST(floor(n_tok0 / 32.0) AS INTEGER) AS bucket,
+      |             sum(CASE WHEN orig % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+      |             sum(CASE WHEN orig % 2 = 1 THEN 1 ELSE 0 END) AS c1
+      |      FROM base GROUP BY 1),
+      |c AS (SELECT bucket,
+      |             sum(c0) OVER (ORDER BY bucket) AS cum0,
+      |             sum(c1) OVER (ORDER BY bucket) AS cum1,
+      |             sum(c0) OVER () AS n0, sum(c1) OVER () AS n1
+      |      FROM h)
+      |SELECT CAST(sum(abs(cum0*n1 - cum1*n0)) AS DECIMAL(38,0)) AS emd_num,
+      |       CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+      |       round(CAST(sum(abs(cum0*n1 - cum1*n0)) AS DOUBLE) * 32
+      |             / (CAST(max(n0) AS DOUBLE) * CAST(max(n1) AS DOUBLE)), 6) AS emd
+      |FROM c""".stripMargin,
+
+    "lm_oov" -> s"""WITH $Seqs,
+      |tok AS (SELECT doc_id, unnest(tokens) AS tok FROM seqs),
+      |freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+      |vocab AS (SELECT tok FROM freq ORDER BY cnt DESC, tok LIMIT 1024)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(floor(1000 * sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+      |             / count(*)) AS BIGINT) AS oov_permille
+      |FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "custom_validator" -> """SELECT doc_id, constraint_id FROM (
       |  SELECT doc_id, 'custom_spark_spam' AS constraint_id FROM documents
       |    WHERE len(regexp_extract_all(text, '\bspark\b')) > 5
@@ -273,6 +300,52 @@ object OracleSql {
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+    // semantics, not a re-statement of the union+window plan.
+    "q_asof_join" -> """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, p.p_event_id, p.p_value,
+      |       epoch_us(c.ts) - epoch_us(p.ts) AS lag_us
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin,
+
+    // Plain inequality join — semantics only; the engine's bucketed
+    // interval-join plan must reproduce it exactly (zero-filled).
+    "q_range_join" -> """WITH p AS (
+      |  SELECT event_id AS p_event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, value AS c_value FROM events
+      |      WHERE event_type = 'click')
+      |SELECT p.p_event_id, p.user_id,
+      |       CAST(count(c.c_value) AS BIGINT) AS n_clicks,
+      |       max(c.c_value) AS c_vmax
+      |FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 86400000000
+      |  AND epoch_us(c.ts) < epoch_us(p.ts)
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "events_sessionize" -> """WITH e AS (
+      |  SELECT user_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts, event_type,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM e)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_purchases,
+      |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "hist_udaf" -> s"""WITH $Base
       |SELECT source, CAST(floor(n_tok0 / 32.0) AS BIGINT) AS bucket,

@@ -294,6 +294,17 @@ object Queries {
       clean(s, dir), Drift("n_tok", "epoch", 32L), Seq("source"))
       .orderBy(col("source"))
 
+  /** Earth-mover (1-Wasserstein) drift over the same two-epoch n_tok
+    * histogram as drift_stats — integer-exact numerator in DECIMAL(38,0)
+    * (survives 10^12-row sides), ONE final correctly-rounded division.
+    */
+  def driftEmd(s: SparkSession, dir: String): DataFrame =
+    DriftCheck.emd(
+      DriftCheck.histogram(
+        clean(s, dir).withColumn("epoch", pmod(col("orig"), lit(2L))),
+        "n_tok", "epoch", 32L),
+      bucketWidth = 32L)
+
   /** Drift on a provided table: events value distribution across month
     * halves (exact counts + order-free min/max).
     */
@@ -703,6 +714,60 @@ object Queries {
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
       .orderBy(col("g_status"), col("g_prio"), col("o_orderstatus"), col("o_orderpriority"))
 
+  /** As-of join (backward): each click picks up the latest prior purchase
+    * by the same user (rel/AsofJoin — union+running-window, ONE shuffle; a
+    * temporal operator Spark lacks natively). Oracle: DuckDB's native
+    * `ASOF LEFT JOIN` — an independent implementation of the semantics,
+    * not a mirror of this plan. (user_id, ts) is unique in events, so the
+    * match is well-defined; the tie rule is exercised structurally.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+    graft.rel.AsofJoin.asofBackward(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("p_event_id", "p_value", "p_ts"), tieBreak = "p_event_id")
+      .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"),
+        (unix_micros(col("ts").cast("timestamp")) - unix_micros(col("p_ts").cast("timestamp"))).as("lag_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Trailing-window range join (rel/RangeJoin — bucketed interval join,
+    * equi-join on (key, window-bucket) with fan-out 2, never an inequality
+    * join): per purchase, the count and max value of that user's clicks in
+    * the preceding 24 h, zero-filled. Oracle: DuckDB evaluates the same
+    * semantics as a plain inequality join.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("c_value"))
+    graft.rel.RangeJoin.trailingWindowAgg(purchases, clicks, "user_id",
+        "ts", "ts", probeId = "p_event_id", probeCols = Seq("user_id"),
+        buildCols = Seq("c_value"), windowUs = 24L * 3600 * 1000000,
+        aggs = Seq(count(col("c_value")).as("_n"), max(col("c_value")).as("c_vmax")))
+      .select(col("p_event_id"), col("user_id"),
+        coalesce(col("_n"), lit(0L)).as("n_clicks"), col("c_vmax"))
+      .orderBy(col("p_event_id"))
+  }
+
+  /** Gap-based sessionization (rel/Sessionize): 30-minute-gap sessions per
+    * user with per-session event count, purchase count, and span.
+    */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.rel.Sessionize.assign(events(s, dir), "user_id", "ts",
+        gapUs = 30L * 60 * 1000000)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        (max(unix_micros(col("ts").cast("timestamp"))) - min(unix_micros(col("ts").cast("timestamp")))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_seq"))
+
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Knn.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -759,6 +824,18 @@ object Queries {
     */
   def tokTopFreq(s: SparkSession, dir: String): DataFrame =
     Curation.tokenTopK(docs(s, dir), "text", 20)
+
+  /** Per-sequence OOV rate against the corpus' own top-1024 unigram
+    * vocabulary (curate/Curation.oovScore): vocab = one bounded agg +
+    * TakeOrdered; scoring = explode + broadcast membership join + one
+    * hash agg — the fact side never shuffles for membership.
+    */
+  def lmOov(s: SparkSession, dir: String): DataFrame = {
+    val c = clean(s, dir)
+    Curation.oovScore(c, "doc_id", "tokens",
+        Curation.tokenVocab(c, "tokens", 1024))
+      .orderBy(col("doc_id"))
+  }
 
   /** IVF ANN over embeddings: the codebook is the first 8 corpus vectors
     * (deterministic stand-in for a sampled k-means run — the codebook

@@ -38,6 +38,7 @@ object SparkEntry {
     "drift_hist" -> (Queries.driftHist _),
     "drift_stats" -> (Queries.driftStats _),
     "drift_gate" -> (Queries.driftGate _),
+    "drift_emd" -> (Queries.driftEmd _),
     "hist_udaf" -> (Queries.histUdaf _),
     "custom_validator" -> (Queries.customValidator _),
     "events_drift" -> (Queries.eventsDrift _),
@@ -56,6 +57,9 @@ object SparkEntry {
     "q_setops" -> (Queries.qSetOps _),
     "q_map_ops" -> (Queries.qMapOps _),
     "q_cube" -> (Queries.qCube _),
+    "q_asof_join" -> (Queries.qAsofJoin _),
+    "q_range_join" -> (Queries.qRangeJoin _),
+    "events_sessionize" -> (Queries.eventsSessionize _),
     // training-data pipeline operators
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_exemplars" -> (Queries.dedupExemplars _),
@@ -74,6 +78,7 @@ object SparkEntry {
     "sample_stratified" -> (Queries.sampleStratified _),
     "seq_pack" -> (Queries.seqPack _),
     "tok_topfreq" -> (Queries.tokTopFreq _),
+    "lm_oov" -> (Queries.lmOov _),
     "decontaminate" -> (Queries.decontaminate _),
     "doc_repetition" -> (Queries.docRepetition _),
     "curation_gate" -> (Queries.curationGate _),

@@ -202,4 +202,38 @@ object Curation {
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(k)
+
+  /** Top-k unigram vocabulary over an integer-token corpus (the tokenized
+    * twin of tokenTopK): explode collapses map-side to per-partition
+    * distinct tokens, ONE shuffle bounded by |vocab-universe|, then
+    * TakeOrdered. Boundary ties broken by token id, so the vocabulary is
+    * deterministic across runs and engines.
+    */
+  def tokenVocab(df: DataFrame, tokCol: String, k: Int): DataFrame =
+    df.select(explode(col(tokCol)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+
+  /** Per-document out-of-vocabulary scoring against a unigram vocabulary —
+    * the cheap LM-style quality signal (a doc whose tokens barely intersect
+    * the corpus vocabulary is noise or the wrong domain/tokenizer).
+    *
+    * Plan: explode the token arrays, LEFT broadcast-join the vocab (tiny —
+    * k rows — so the fact side NEVER shuffles for membership), then one
+    * partial+final hash aggregate back to per-doc counts keyed by the doc
+    * id. OOV occurrences are COUNTED, not set-differenced — `array_except`
+    * would dedup repeated tokens and undercount. `oov_permille` is integer
+    * ×1000 then one correctly-rounded double division + floor, identical
+    * in any IEEE engine (no float accumulation order anywhere).
+    */
+  def oovScore(df: DataFrame, idCol: String, tokCol: String,
+               vocab: DataFrame): DataFrame =
+    df.select(col(idCol), explode(col(tokCol)).as("tok"))
+      .join(broadcast(vocab.select(col("tok"), lit(1L).as("_inv"))),
+        Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille",
+        floor(lit(1000L) * col("n_oov") / col("n_tok")).cast("long"))
 }

@@ -88,27 +88,54 @@ class BenchMergeSpec extends AnyFunSuite {
     assert("Throughput record:".r.findAllIn(out3).size == 1, out3)
   }
 
-  test("driver stdout line stays inside the tail-capture budget at future suite size") {
+  // realistic worst-width scaling block (large rows, 3-digit walls)
+  private val scalingBlock =
+    """{"rows":200000000,"t8_sec":114.75,"t32_sec":46.35,""" +
+    """"rps32":4315000,"efficiency":0.619,""" +
+    """"steal8":0.4,"steal32":1.2,""" +
+    """"rounds":6,"storage_rps32":3960000}"""
+
+  test("driver stdout line stays inside the tail-capture budget at ANY suite size") {
     // BENCH_r03: an oversized final line gives rc=0 + parsed:null — the
-    // official record empties silently. Budget-check against a query map
-    // LARGER than the real suite (with names at the real suite's longest)
-    // so new operators can't overflow it unnoticed.
+    // official record empties silently. The line is now ADAPTIVE (slowest
+    // queries kept, fast tail summarized as q_omitted), so the invariant
+    // holds by construction — assert it against a suite LARGER than the
+    // real one with worst-width values, so a regression in the adaptive
+    // logic (or a pathological name) can't overflow unnoticed.
     val names = SparkEntry.queries.keys.toSeq
     val longest = names.map(_.length).max
     val pad = (1 to 15).map(i => f"future_operator_$i%02d")
-    val qs = (names ++ pad).map(n => "\"" + n + "\":" + f"${12.34}%.2f")
-      .mkString("{", ",", "}")
-    // realistic worst-width scaling block (large rows, 3-digit walls)
-    val scaling =
-      """{"rows":200000000,"t8_sec":114.75,"t32_sec":46.35,""" +
-      """"rps32":4315000,"efficiency":0.619,""" +
-      """"steal8":0.4,"steal32":1.2,""" +
-      """"rounds":6,"storage_rps32":3960000}"""
-    val line = Bench.driverLine(999.999, qs, "/root/testdata/sf0.1", scaling)
+    val results = (names ++ pad).zipWithIndex
+      .map { case (n, i) => n -> (112.34 - i * 0.07) }
+    val line = Bench.driverLine(999.999, results, "/root/testdata/sf0.1", scalingBlock)
     assert(longest <= 24, s"a query name grew past the budget assumption: $longest")
     assert(line.length <= Bench.DriverLineBudget,
       s"driver line ${line.length} chars > budget ${Bench.DriverLineBudget}")
-    // and it is one single line — a stray newline would also break the tail parse
+    // it is one single line — a stray newline would also break the tail parse
     assert(!line.contains("\n"))
+    // the slowest queries must survive the cut, and the omission is declared
+    val slowest = results.sortBy(-_._2).take(20).map(_._1)
+    slowest.foreach(n => assert(line.contains("\"" + n + "\""), s"slow query $n dropped"))
+    assert(line.contains("\"q_omitted\":"), "oversized suite must declare the cut")
+  }
+
+  test("driver line: current suite at typical walls is reported IN FULL") {
+    // the adaptive cut must not fire at today's suite size with realistic
+    // sub-second walls — the per-query map should stay complete
+    val results = SparkEntry.queries.keys.toSeq.map(_ -> 0.57)
+    val line = Bench.driverLine(29.078, results, "/root/testdata/sf0.1", scalingBlock)
+    assert(line.length <= Bench.DriverLineBudget, s"${line.length}")
+    assert(!line.contains("q_omitted"),
+      s"current suite overflowed the budget (${line.length} chars) — compact the line")
+    results.foreach { case (n, _) => assert(line.contains("\"" + n + "\"")) }
+  }
+
+  test("driver line: FAILED queries (-1) are never dropped by the adaptive cut") {
+    val many = (1 to 120).map(i => f"padding_query_name_$i%03d" -> (100.0 - i * 0.1))
+    val results = many :+ ("the_failed_one" -> -1.0)
+    val line = Bench.driverLine(1.0, results, "/root/testdata/sf0.1", scalingBlock)
+    assert(line.length <= Bench.DriverLineBudget)
+    assert(line.contains("\"the_failed_one\":-1.00"), line.take(300))
+    assert(line.contains("\"q_omitted\":"))
   }
 }

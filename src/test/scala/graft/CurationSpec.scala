@@ -168,4 +168,44 @@ class CurationSpec extends SparkTestBase {
     assert(got(2L) === (("no digits here", 0L)))
     assert(got(3L) === (("short 12345 stays", 0L))) // below the run length
   }
+
+  test("oovScore counts OOV OCCURRENCES (no dedup) and zero-fills in-vocab docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1, 1, 1, 2)),      // tokens 1,2 dominate → in vocab(2)
+      (2L, Seq(1, 2, 2, 1)),
+      (3L, Seq(9, 9, 9, 1))       // 9 is rare → OOV; repeated = counted 3×
+    ).toDF("doc_id", "tokens")
+    val vocab = Curation.tokenVocab(corpus, "tokens", 2)
+    assert(vocab.select("tok").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    val got = Curation.oovScore(corpus, "doc_id", "tokens", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((4L, 0L, 0L)))
+    assert(got(2L) === ((4L, 0L, 0L)))
+    assert(got(3L) === ((4L, 3L, 750L))) // 3 OOV occurrences of ONE distinct token
+  }
+
+  test("tokenVocab boundary tie breaks by token id, deterministically") {
+    import spark.implicits._
+    // tokens 5 and 7 tie at count 2; k=1 must pick 5 (smaller id)
+    val corpus = Seq((1L, Seq(5, 7)), (2L, Seq(7, 5))).toDF("doc_id", "tokens")
+    assert(Curation.tokenVocab(corpus, "tokens", 1)
+      .select("tok").collect().map(_.getInt(0)).toSeq == Seq(5))
+  }
+
+  test("drift EMD: hand-computed value, integer-exact numerator, shift sensitivity") {
+    import spark.implicits._
+    // epoch 0: 4 rows in bucket 0; epoch 1: 2 in bucket 0, 2 in bucket 1.
+    // F0 = (1, 1), F1 = (0.5, 1) → EMD = 0.5 * width(=10) = 5.0.
+    // Numerator: |cum0*n1 - cum1*n0| = |4*4 - 2*4| + |4*4 - 4*4| = 8.
+    val hist = Seq((0, 0, 4L), (1, 0, 2L), (1, 1, 2L)).toDF("epoch", "bucket", "cnt")
+    val r = graft.drift.DriftCheck.emd(hist, bucketWidth = 10L).collect().head
+    assert(r.getDecimal(0).longValueExact() == 8L)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 5.0)
+    // identical distributions → EMD exactly 0
+    val same = Seq((0, 0, 3L), (0, 1, 3L), (1, 0, 3L), (1, 1, 3L))
+      .toDF("epoch", "bucket", "cnt")
+    assert(graft.drift.DriftCheck.emd(same, 10L).collect().head.getDouble(3) == 0.0)
+  }
 }

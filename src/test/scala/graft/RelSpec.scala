@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.rel.{AsofJoin, RangeJoin, Sessionize}
+
+/** Semantics + plan-shape tests for the temporal relational operators
+  * (rel/AsofJoin, rel/RangeJoin, rel/Sessionize). The oracle rows certify
+  * them against DuckDB on real data; these pin the EDGE rules the sf0.01
+  * data may not hit (exact-tie as-of matches, equal-timestamp tie-break,
+  * NULL payload fields, window boundary inclusivity) and the single-shuffle
+  * plan shape the 100 TB story depends on.
+  */
+class RelSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    val s = new java.io.ByteArrayOutputStream()
+    Console.withOut(s) { df.explain("formatted") }
+    s.toString
+  }
+  private def treeCount(plan: String, op: String): Int =
+    s"[+:]- $op".r.findAllIn(plan).size
+
+  // ---------- as-of join ----------
+
+  private lazy val left = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00")), // after r2 → matches r2
+    (1L, 11L, ts("2024-01-01 08:00:00")), // exact tie with r1 → matches r1 (<=)
+    (1L, 12L, ts("2024-01-01 07:00:00")), // before all rights → NULL
+    (2L, 20L, ts("2024-01-01 12:00:00"))  // key with no rights → NULL
+  ).toDF("k", "lid", "t")
+
+  private lazy val right = Seq(
+    (1L, 100L, ts("2024-01-01 08:00:00"), "a"),
+    (1L, 101L, ts("2024-01-01 09:00:00"), "b"),
+    (1L, 99L, ts("2024-01-01 09:00:00"), "dup") // same ts as 101 — smaller tieBreak loses
+  ).toDF("k", "rid", "t", "tag")
+
+  private def asof() = AsofJoin.asofBackward(
+    left, right.select(col("k"), col("t"), col("rid"), col("tag")),
+    Seq("k"), "t", "t", Seq("rid", "tag"), tieBreak = "rid")
+
+  test("asof: backward match, inclusive tie, left-join nulls, tie-break max") {
+    val got: Map[Long, (Option[Long], Option[String])] =
+      asof().select("lid", "rid", "tag").collect()
+        .map { r =>
+          r.getLong(0) -> ((
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            Option(r.getString(2))))
+        }.toMap
+    assert(got(10L) == ((Some(101L), Some("b"))))   // latest of the 09:00 pair by tieBreak
+    assert(got(11L) == ((Some(100L), Some("a"))))   // exact-timestamp right row visible (<=)
+    assert(got(12L) == ((None, None)))              // nothing prior
+    assert(got(20L) == ((None, None)))              // key absent on the right
+  }
+
+  test("asof: NULL payload FIELD does not tear across right rows") {
+    // r2 has tag=NULL; a per-column last(ignoreNulls) would pair r2's rid
+    // with r1's tag. The struct transport must keep the NULL.
+    val r = Seq(
+      (1L, 100L, ts("2024-01-01 08:00:00"), Some("a")),
+      (1L, 101L, ts("2024-01-01 09:00:00"), None: Option[String])
+    ).toDF("k", "rid", "t", "tag")
+    val l = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("k", "lid", "t")
+    val row = AsofJoin.asofBackward(l, r.select(col("k"), col("t"), col("rid"), col("tag")),
+        Seq("k"), "t", "t", Seq("rid", "tag"), tieBreak = "rid")
+      .select("rid", "tag").collect().head
+    assert(row.getLong(0) == 101L && row.isNullAt(1))
+  }
+
+  test("asof: plan is ONE exchange (union + single window), no join node") {
+    val plan = planString(asof())
+    assert(treeCount(plan, "Exchange") == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  // ---------- range join ----------
+
+  test("range join: [t-w, t) boundaries — w-ago included, probe instant excluded") {
+    val probe = Seq((1L, 500L, ts("2024-01-01 10:00:00"))).toDF("k", "pid", "t")
+    val build = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),  // exactly w ago → IN
+      (1L, ts("2024-01-01 08:59:59"), 2.0),  // older than w → OUT
+      (1L, ts("2024-01-01 10:00:00"), 3.0),  // probe instant → OUT (strict <)
+      (1L, ts("2024-01-01 09:30:00"), 4.0)   // interior → IN
+    ).toDF("k", "t", "v")
+    val pairs = RangeJoin.trailingWindowPairs(probe, build, "k", "t", "t",
+      Seq("pid"), Seq("v"), windowUs = 3600L * 1000000)
+    assert(pairs.select("v").collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 4.0))
+  }
+
+  test("range join agg: zero-fill keeps matchless probe rows, once each") {
+    val probe = Seq((1L, 500L, ts("2024-01-01 10:00:00")),
+      (2L, 501L, ts("2024-01-01 10:00:00"))).toDF("k", "pid", "t")
+    val build = Seq((1L, ts("2024-01-01 09:30:00"), 4.0)).toDF("k", "t", "v")
+    val got = RangeJoin.trailingWindowAgg(probe, build, "k", "t", "t",
+        probeId = "pid", probeCols = Seq("k"), buildCols = Seq("v"),
+        windowUs = 3600L * 1000000,
+        aggs = Seq(count(col("v")).as("n")))
+      .select(col("pid"), coalesce(col("n"), lit(0L)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(500L -> 1L, 501L -> 0L))
+  }
+
+  test("range join: equi-join on (key, bucket) — no nested-loop join in the plan") {
+    val probe = Seq((1L, 500L, ts("2024-01-01 10:00:00"))).toDF("k", "pid", "t")
+    val build = Seq((1L, ts("2024-01-01 09:30:00"), 4.0)).toDF("k", "t", "v")
+    val plan = planString(RangeJoin.trailingWindowPairs(probe, build, "k", "t", "t",
+      Seq("pid"), Seq("v"), windowUs = 3600L * 1000000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---------- sessionization ----------
+
+  test("sessionize: strict-gap boundary (gap == gapUs stays in session)") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")), // exactly 30 min later → same session
+      (1L, ts("2024-01-01 11:00:01")), // 30 min + 1 s → new session
+      (2L, ts("2024-01-01 10:00:00"))
+    ).toDF("k", "t")
+    val got = Sessionize.summarize(ev, "k", "t", gapUs = 30L * 60 * 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
+  }
+}
