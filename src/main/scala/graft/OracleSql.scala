@@ -329,6 +329,16 @@ object OracleSql {
       |  AND epoch_us(c.ts) < epoch_us(p.ts)
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
+    // the MERGE result stated directly as set algebra over the snapshot —
+    // no window/compaction mechanics, so the oracle is independent.
+    "merge_apply" -> """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents)
+      |SELECT doc_id, lang, n_chars FROM snap WHERE doc_id % 10 NOT IN (0, 1, 3)
+      |UNION ALL
+      |SELECT doc_id, 'bb' AS lang, n_chars + 2 FROM snap WHERE doc_id % 10 = 1
+      |UNION ALL
+      |SELECT doc_id + 1000000, 'nw', CAST(42 AS BIGINT) FROM snap WHERE doc_id % 10 = 2
+      |ORDER BY doc_id""".stripMargin,
+
     "events_sessionize" -> """WITH e AS (
       |  SELECT user_id, ts, event_type,
       |    CASE WHEN lag(ts) OVER w IS NULL

@@ -768,6 +768,32 @@ object Queries {
         (max(unix_micros(col("ts").cast("timestamp"))) - min(unix_micros(col("ts").cast("timestamp")))).as("duration_us"))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** CDC MERGE apply (rel/MergeInto): a deterministic change feed — delete,
+    * competing updates (latest seq wins), update-then-delete, insert —
+    * folded into the documents snapshot. The oracle states the EXPECTED
+    * RESULT set directly (plain unions over documents), independent of any
+    * merge mechanics, so it certifies semantics, not the plan.
+    */
+  def mergeApply(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    def cls(n: Long) = pmod(col("doc_id"), lit(10L)) === n
+    def ch(filter: Column, idC: Column, op: String, seq: Long,
+           langC: Column, ncC: Column) =
+      d.filter(filter).select(idC.as("doc_id"), lit(op).as("op"),
+        lit(seq).as("seq"), langC.as("lang"), ncC.as("n_chars"))
+    val nulls = (lit(null).cast("string"), lit(null).cast("long"))
+    val changes =
+      ch(cls(0), col("doc_id"), "D", 1L, nulls._1, nulls._2)                        // plain delete
+        .unionByName(ch(cls(1), col("doc_id"), "U", 1L, lit("aa"), col("n_chars") + 1L)) // stale update…
+        .unionByName(ch(cls(1), col("doc_id"), "U", 2L, lit("bb"), col("n_chars") + 2L)) // …beaten by seq 2
+        .unionByName(ch(cls(3), col("doc_id"), "U", 1L, lit("cc"), col("n_chars") + 3L)) // update…
+        .unionByName(ch(cls(3), col("doc_id"), "D", 2L, nulls._1, nulls._2))             // …then delete wins
+        .unionByName(ch(cls(2), col("doc_id") + 1000000L, "I", 1L, lit("nw"), lit(42L))) // insert new keys
+    graft.rel.MergeInto.applyChanges(d, changes, "doc_id", "op", "seq",
+        Seq("lang", "n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Knn.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)

@@ -60,6 +60,7 @@ object SparkEntry {
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_range_join" -> (Queries.qRangeJoin _),
     "events_sessionize" -> (Queries.eventsSessionize _),
+    "merge_apply" -> (Queries.mergeApply _),
     // training-data pipeline operators
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_exemplars" -> (Queries.dedupExemplars _),

@@ -117,7 +117,56 @@ class RelSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  // ---------- CDC merge apply ----------
+
+  test("mergeInto: U-after-D resurrects a key; payload NULLs on D are fine") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "D", 1L, null.asInstanceOf[String]),
+      (1L, "U", 2L, "a2"), // later seq resurrects
+      (2L, "D", 5L, null.asInstanceOf[String]),
+      (3L, "I", 1L, "c")
+    ).toDF("k", "op", "seq", "v")
+    val got = graft.rel.MergeInto.applyChanges(snap, changes, "k", "op", "seq", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 3L -> "c"))
+  }
+
+  test("mergeInto: duplicate (key, seq) in the feed fails loudly, never picks a winner") {
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "U", 7L, "x"), (1L, "U", 7L, "y")).toDF("k", "op", "seq", "v")
+    val e = intercept[Exception] {
+      graft.rel.MergeInto.applyChanges(snap, changes, "k", "op", "seq", Seq("v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ambiguous")), e.toString)
+  }
+
   // ---------- sessionization ----------
+
+  test("sessionize ≡ Spark's native session_window on real events (count AND span)") {
+    // session_window merges events whose gap ≤ gapDuration — the same rule
+    // as Sessionize's strict `> gap` split. Cross-checking against Spark's
+    // own (streaming-capable) session operator certifies the semantics
+    // with an implementation we didn't write. Span: window.end = last+gap,
+    // so (end − start) − gap == last − first == duration_us.
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val gapUs = 30L * 60 * 1000000
+    val ours = Sessionize.summarize(ev, "user_id", "ts", gapUs)
+      .select(col("user_id"), col("n_events"), col("duration_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val theirs = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        (unix_micros(col("w.end").cast("timestamp")) -
+          unix_micros(col("w.start").cast("timestamp")) - gapUs).as("duration_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(ours.nonEmpty && ours == theirs)
+  }
 
   test("sessionize: strict-gap boundary (gap == gapUs stays in session)") {
     val ev = Seq(
