@@ -132,6 +132,32 @@ class RelSpec extends SparkTestBase {
     assert(got == Map(1L -> "a2", 3L -> "c"))
   }
 
+  test("mergeInto: broadcast (zero-snapshot-shuffle) variant ≡ full-outer variant") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "D", 1L, null.asInstanceOf[String]),
+      (2L, "U", 1L, "stale"), (2L, "U", 2L, "b2"),
+      (3L, "U", 1L, "c1"), (3L, "D", 2L, null.asInstanceOf[String]),
+      (9L, "I", 1L, "new"), (8L, "D", 1L, null.asInstanceOf[String])
+    ).toDF("k", "op", "seq", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val full = graft.rel.MergeInto.applyChanges(snap, changes, "k", "op", "seq", Seq("v"))
+    val bc = graft.rel.MergeInto.applyChangesBroadcast(snap, changes, "k", "op", "seq", Seq("v"))
+    assert(rows(full) == rows(bc))
+    assert(rows(bc) == Seq((2L, "b2"), (4L, "d"), (9L, "new")))
+    // the broadcast variant's plan: no sort-merge join, no snapshot-side
+    // exchange — only the feed's window compaction shuffles (the feed is
+    // a local relation here, so ANY remaining exchange is feed-only)
+    val plan = {
+      val s = new java.io.ByteArrayOutputStream()
+      Console.withOut(s) { bc.explain("formatted") }
+      s.toString
+    }
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("mergeInto: duplicate (key, seq) in the feed fails loudly, never picks a winner") {
     val snap = Seq((1L, "a")).toDF("k", "v")
     val changes = Seq((1L, "U", 7L, "x"), (1L, "U", 7L, "y")).toDF("k", "op", "seq", "v")
