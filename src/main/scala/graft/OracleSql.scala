@@ -314,6 +314,17 @@ object OracleSql {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin,
 
+    "q_asof_fwd" -> """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, p.p_event_id, p.p_value,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS lead_us
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts
+      |ORDER BY c.event_id""".stripMargin,
+
     // Plain inequality join — semantics only; the engine's bucketed
     // interval-join plan must reproduce it exactly (zero-filled).
     "q_range_join" -> """WITH p AS (

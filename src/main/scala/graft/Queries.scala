@@ -735,6 +735,25 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of: each click picks up the NEXT purchase (earliest at or
+    * after the click) — the mirror of q_asof_join, exercising the negated-
+    * time encoding that keeps the window frame O(1)/row.
+    */
+  def qAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+    graft.rel.AsofJoin.asofForward(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("p_event_id", "p_value", "p_ts"), tieBreak = "p_event_id")
+      .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"),
+        (unix_micros(col("p_ts").cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp"))).as("lead_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Trailing-window range join (rel/RangeJoin — bucketed interval join,
     * equi-join on (key, window-bucket) with fan-out 2, never an inequality
     * join): per purchase, the count and max value of that user's clicks in

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_map_ops" -> (Queries.qMapOps _),
     "q_cube" -> (Queries.qCube _),
     "q_asof_join" -> (Queries.qAsofJoin _),
+    "q_asof_fwd" -> (Queries.qAsofFwd _),
     "q_range_join" -> (Queries.qRangeJoin _),
     "events_sessionize" -> (Queries.eventsSessionize _),
     "merge_apply" -> (Queries.mergeApply _),

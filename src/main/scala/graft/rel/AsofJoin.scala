@@ -67,4 +67,28 @@ object AsofJoin {
       .select(keys.map(col) ++ Seq(col("_t").as(leftTime)) ++ leftRest.map(col) ++
         rightPayload.map(p => col(s"_pay.$p").as(p)): _*)
   }
+
+  /** Forward variant: the EARLIEST right row with `right.time >=
+    * left.time` (DuckDB: `ASOF LEFT JOIN … ON l.t <= r.t`). Encoded as
+    * asofBackward over NEGATED epoch-micros — deliberately NOT a
+    * [CURRENT ROW, UNBOUNDED FOLLOWING] frame, which Spark evaluates by
+    * re-aggregating the remaining rows per input row (O(n²) per key
+    * timeline); negation keeps the O(1)-per-row running frame. Among
+    * right rows at the same timestamp the SMALLEST `tieBreak` wins (the
+    * mirror of backward's largest). Time columns must be timestamps.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightPayload: Seq[String], tieBreak: String): DataFrame = {
+    val l = left
+      .withColumn("_fwd_orig", col(leftTime))
+      .withColumn("_fwd_t", -unix_micros(col(leftTime).cast("timestamp")))
+      .drop(leftTime)
+    val r = right
+      .withColumn("_fwd_t", -unix_micros(col(rightTime).cast("timestamp")))
+      .withColumn("_fwd_tb", -col(tieBreak).cast("long"))
+    asofBackward(l, r, keys, "_fwd_t", "_fwd_t", rightPayload, "_fwd_tb")
+      .drop("_fwd_t")
+      .withColumnRenamed("_fwd_orig", leftTime)
+  }
 }

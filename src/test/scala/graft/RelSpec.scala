@@ -80,6 +80,24 @@ class RelSpec extends SparkTestBase {
     assert(plan.contains("Window"), plan)
   }
 
+  test("asof forward: earliest at-or-after match, smallest tie-break, nulls past the end") {
+    val l = Seq(
+      (1L, 10L, ts("2024-01-01 08:30:00")), // between r1 and the 09:00 pair → 09:00
+      (1L, 11L, ts("2024-01-01 09:00:00")), // exact tie → matched (>=)
+      (1L, 12L, ts("2024-01-01 09:30:00")), // after all rights → NULL
+      (2L, 20L, ts("2024-01-01 08:00:00"))  // key with no rights → NULL
+    ).toDF("k", "lid", "t")
+    val got = AsofJoin.asofForward(
+        l, right.select(col("k"), col("t"), col("rid"), col("tag")),
+        Seq("k"), "t", "t", Seq("rid", "tag"), tieBreak = "rid")
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(10L) == Some(99L))  // smallest tieBreak of the 09:00 pair
+    assert(got(11L) == Some(99L))  // at-timestamp right row visible (>=)
+    assert(got(12L) == None)
+    assert(got(20L) == None)
+  }
+
   // ---------- range join ----------
 
   test("range join: [t-w, t) boundaries — w-ago included, probe instant excluded") {
