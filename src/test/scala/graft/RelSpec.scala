@@ -80,6 +80,33 @@ class RelSpec extends SparkTestBase {
     assert(plan.contains("Window"), plan)
   }
 
+  test("asof sharded ≡ plain on a skewed timeline (boundary carries exercised)") {
+    // hot key 1 carries 90% of rows; 60 s shards over a ~1000 s span force
+    // ~17 shards per key, so most left rows must coalesce a carried payload
+    // from an earlier shard, not a within-shard match.
+    val rnd = new scala.util.Random(42)
+    def at(ms: Long) = new Timestamp(1700000000000L + ms)
+    val l = (1 to 300).map { i =>
+      (if (i % 10 == 0) 2L else 1L, i.toLong, at(rnd.nextInt(1000000).toLong))
+    }.toDF("k", "lid", "t")
+    val r = (1 to 80).map { i =>
+      (if (i % 8 == 0) 2L else 1L, 1000L + i, at(rnd.nextInt(1000000).toLong), s"p$i")
+    }.toDF("k", "rid", "t", "tag")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid", "tag").collect()
+        .map(row => (row.getLong(0),
+          if (row.isNullAt(1)) -1L else row.getLong(1),
+          Option(row.getString(2)).getOrElse(""))).sorted.toSeq
+    val rr = r.select(col("k"), col("t"), col("rid"), col("tag"))
+    val plain = AsofJoin.asofBackward(l, rr, Seq("k"), "t", "t",
+      Seq("rid", "tag"), tieBreak = "rid")
+    val sharded = AsofJoin.asofBackwardSharded(l, rr, Seq("k"), "t", "t",
+      Seq("rid", "tag"), tieBreak = "rid", shardUs = 60L * 1000000)
+    val (p, s) = (norm(plain), norm(sharded))
+    assert(p == s)
+    assert(p.count(_._2 == -1L) < p.size, "some rows must match") // sanity
+  }
+
   test("asof forward: earliest at-or-after match, smallest tie-break, nulls past the end") {
     val l = Seq(
       (1L, 10L, ts("2024-01-01 08:30:00")), // between r1 and the 09:00 pair → 09:00
