@@ -228,12 +228,17 @@ object Curation {
     */
   def oovScore(df: DataFrame, idCol: String, tokCol: String,
                vocab: DataFrame): DataFrame =
-    df.select(col(idCol), explode(col(tokCol)).as("tok"))
+    // explode_outer: a doc with an EMPTY (or null) token array must still
+    // appear in the output — with n_tok = 0 and a NULL rate — rather than
+    // silently vanish from a quality report
+    df.select(col(idCol), explode_outer(col(tokCol)).as("tok"))
       .join(broadcast(vocab.select(col("tok"), lit(1L).as("_inv"))),
         Seq("tok"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tok"),
-        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(count(col("tok")).as("n_tok"),
+        sum(when(col("tok").isNotNull && col("_inv").isNull, 1L)
+          .otherwise(0L)).as("n_oov"))
       .withColumn("oov_permille",
-        floor(lit(1000L) * col("n_oov") / col("n_tok")).cast("long"))
+        when(col("n_tok") > 0,
+          floor(lit(1000L) * col("n_oov") / col("n_tok"))).cast("long"))
 }

@@ -45,9 +45,13 @@ object MergeInto {
         count(lit(1)).over(Window.partitionBy(col(key), col(seqCol))))
       .filter(col("_rn") === 1)
       .select((key +: payload).map(c => col(c).as(s"_c_$c")) :+
-        when(col("_ties") === 1, col(opCol))
-          .otherwise(raise_error(
+        when(col("_ties") =!= 1,
+          raise_error(
             lit(s"MergeInto: duplicate $seqCol for a $key — feed order ambiguous")))
+          // an op code outside I/U/D must not silently behave as an upsert
+          .when(!col(opCol).isin("I", "U", "D"),
+            raise_error(concat(lit("MergeInto: unknown op '"), col(opCol), lit("'"))))
+          .otherwise(col(opCol))
           .as(s"_c_$opCol"): _*)
   }
 

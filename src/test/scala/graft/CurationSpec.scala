@@ -185,6 +185,17 @@ class CurationSpec extends SparkTestBase {
     assert(got(3L) === ((4L, 3L, 750L))) // 3 OOV occurrences of ONE distinct token
   }
 
+  test("oovScore keeps empty-token docs: n_tok 0, n_oov 0, NULL rate — not a dropped row") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1, 2)), (2L, Seq.empty[Int])).toDF("doc_id", "tokens")
+    val vocab = Curation.tokenVocab(corpus, "tokens", 2)
+    val got = Curation.oovScore(corpus, "doc_id", "tokens", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(2L) === ((0L, 0L, -1L)))
+  }
+
   test("tokenVocab boundary tie breaks by token id, deterministically") {
     import spark.implicits._
     // tokens 5 and 7 tie at count 2; k=1 must pick 5 (smaller id)

@@ -214,6 +214,17 @@ class RelSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("ambiguous")), e.toString)
   }
 
+  test("mergeInto: an unknown op code raises instead of silently upserting") {
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "X", 1L, "boom")).toDF("k", "op", "seq", "v")
+    val e = intercept[Exception] {
+      graft.rel.MergeInto.applyChanges(snap, changes, "k", "op", "seq", Seq("v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unknown op")), e.toString)
+  }
+
   // ---------- sessionization ----------
 
   test("sessionize ≡ Spark's native session_window on real events (count AND span)") {
