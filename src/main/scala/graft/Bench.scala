@@ -508,11 +508,12 @@ object Bench {
            |Scaling efficiency (8 -> 32 cores = N -> 4N): **$eff%.3f** (target >= 0.8).
            |Steal is /proc/stat col 8 sampled around the chosen (min-wall) rep:
            |co-tenant CPU hits a 32-thread run ~4x harder than an 8-thread run,
-           |so measured efficiency varies with the window (0.41-0.62 observed for
-           |identical code across round-3 full-protocol runs — the 32-core wall
-           |bottoms at ~46 s at 2e8 rows, tracking the shared-DRAM streaming
-           |control, while the 8-core wall varies 98-122 s with window
-           |warmth); the steal columns record the window quality. The task
+           |so measured efficiency varies with the window (0.41-0.63 observed
+           |for unchanged protocol code across round-3/4 full runs — round-4's
+           |fused row+ref scan dropped the 32-core wall from ~46 s to ~32 s at
+           |2e8 rows, still tracking the shared-DRAM streaming control, while
+           |the 8-core wall varies 75-122 s with window warmth); the steal
+           |columns record the window quality. The task
            |CPU / GC / shuffle columns are the chosen rep's task-metric
            |totals (listener-bus drained before reading — no race). How to
            |read them: shuffle volume must be identical at both levels
