@@ -110,6 +110,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session_window sessions match batch Sessionize (state across batches)") {
+    // the batch operator (rel/Sessionize) is the planner's running-window
+    // form; this drives the SAME semantics through Structured Streaming's
+    // stateful session_window — sessions must merge across MICRO-BATCH
+    // boundaries via the state store, then agree with the batch answer.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val stream = mem.toDF().toDF("ts", "user_id")
+    val q = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("streamsess")
+      .outputMode("complete").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+      def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+      // batch 1: open sessions; batch 2: extend one across the boundary,
+      // start another past the gap
+      mem.addData((at(0), 1L), (at(10), 1L), (at(0), 2L))
+      q.processAllAvailable()
+      mem.addData((at(35), 1L), (at(120), 1L), (at(31), 2L))
+      q.processAllAvailable()
+      val streaming = spark.table("streamsess")
+        .select(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val batch = graft.rel.Sessionize.summarize(
+          Seq((1L, at(0)), (1L, at(10)), (1L, at(35)), (1L, at(120)),
+            (2L, at(0)), (2L, at(31))).toDF("user_id", "ts"),
+          "user_id", "ts", gapUs = 30L * 60 * 1000000)
+        .select(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // user 1: {0,10,35} merge (gaps ≤30m), {120} separate; user 2: {0},{31}... 31-0 > 30m? 31 > 30 → separate
+      assert(streaming == batch, s"streaming=$streaming batch=$batch")
+      assert(batch == Seq((1L, 1L), (1L, 3L), (2L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first occurrence of each content hash across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
