@@ -508,7 +508,7 @@ object Bench {
            |Scaling efficiency (8 -> 32 cores = N -> 4N): **$eff%.3f** (target >= 0.8).
            |Steal is /proc/stat col 8 sampled around the chosen (min-wall) rep:
            |co-tenant CPU hits a 32-thread run ~4x harder than an 8-thread run,
-           |so measured efficiency varies with the window (0.41-0.63 observed
+           |so measured efficiency varies with the window (0.41-0.70 observed
            |for unchanged protocol code across round-3/4 full runs — round-4's
            |fused row+ref scan dropped the 32-core wall from ~46 s to ~32 s at
            |2e8 rows, still tracking the shared-DRAM streaming control, while
@@ -538,7 +538,7 @@ object Bench {
            |
            |Reading: `gen` (token synthesis, pure codegen arithmetic) sets this
            |host's compute ceiling — a pure-CPU register loop measures 0.87
-           |(ARCHITECTURE.md). `rowpass` tracks it. `unique` (ONE skew-safe
+           |(ARCHITECTURE.md). `unique` (ONE skew-safe
            |shuffle since round 2 — partial agg is the salt) is bounded by the
            |exact-uniqueness hash aggregate: DRAM-latency-bound, and all 32
            |threads share ONE memory system on this box (a streaming-memory

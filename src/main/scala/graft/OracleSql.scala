@@ -878,6 +878,72 @@ object OracleSql {
       |      < COALESCE(r.permille, 1000)
       |ORDER BY d.doc_id""".stripMargin,
 
+    // Temperature mixture: sqrt is IEEE-correctly-rounded in both engines
+    // (ln/pow are not); weight quantized to exact long, weight sum
+    // integer-exact, permille a fixed-order double quotient — mirrored
+    // operation-for-operation against Curation.temperatureMixRates.
+    "mix_sample" -> """WITH n AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      |         CAST(sum(CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS q_sum
+      |  FROM n),
+      |r AS (
+      |  SELECT lang, n_docs,
+      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_q,
+      |    LEAST(CAST(floor(
+      |      ((1000.0 * CAST(floor(CAST(n_total AS DOUBLE) / 2.0) AS BIGINT))
+      |         * CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT))
+      |      / (CAST(q_sum AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS BIGINT), 1000) AS permille
+      |  FROM n, tot)
+      |SELECT r.lang, r.n_docs, r.w_q, r.permille,
+      |       CAST(count(d.doc_id) AS BIGINT) AS n_kept,
+      |       CAST(coalesce(sum(d.doc_id), 0) AS BIGINT) AS kept_id_sum
+      |FROM r LEFT JOIN documents d
+      |  ON d.lang = r.lang
+      | AND ((d.doc_id % 1000003) * 2654435761 + 12345) % 1000 < r.permille
+      |GROUP BY r.lang, r.n_docs, r.w_q, r.permille
+      |ORDER BY r.lang""".stripMargin,
+
+    // Exact quartiles from the value-domain histogram — the oracle mirrors
+    // histogram → running sum → min-threshold boundary → bucket stats.
+    "len_buckets" -> """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS tok
+      |  FROM documents),
+      |h AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+      |c AS (SELECT tok, cnt, CAST(sum(cnt) OVER (ORDER BY tok) AS BIGINT) AS cum FROM h),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+      |b AS (
+      |  SELECT
+      |    min(CASE WHEN cum >= CAST(ceil(CAST(1 * n_docs AS DOUBLE) / 4.0) AS BIGINT) THEN tok END) AS b1,
+      |    min(CASE WHEN cum >= CAST(ceil(CAST(2 * n_docs AS DOUBLE) / 4.0) AS BIGINT) THEN tok END) AS b2,
+      |    min(CASE WHEN cum >= CAST(ceil(CAST(3 * n_docs AS DOUBLE) / 4.0) AS BIGINT) THEN tok END) AS b3
+      |  FROM c, n)
+      |SELECT CAST(CASE WHEN tok <= b1 THEN 0 WHEN tok <= b2 THEN 1
+      |            WHEN tok <= b3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_docs, CAST(min(tok) AS BIGINT) AS min_tok,
+      |       CAST(max(tok) AS BIGINT) AS max_tok, CAST(sum(tok) AS BIGINT) AS sum_tok
+      |FROM t, b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Deterministic shard plan: both hashes are pure modular arithmetic
+    // (every product < 2^63); order_sum certifies the within-shard
+    // row_number assignment, not just membership.
+    "shard_plan" -> """WITH t AS (
+      |  SELECT doc_id,
+      |    ((doc_id % 1000003) * 2654435761 + 40503) % 16 AS shard,
+      |    ((doc_id % 999983) * 1103515245 + 54321) % 1000000007 AS ord
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, shard, ord,
+      |    row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS seq
+      |  FROM t)
+      |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(max(CASE WHEN seq = 1 THEN doc_id END) AS BIGINT) AS first_id,
+      |  CAST(sum(seq * (doc_id % 1000003)) AS BIGINT) AS order_sum
+      |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+
     "seq_pack" -> """WITH t AS (
       |  SELECT doc_id, source, doc_id % 4 AS shard,
       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS tok
@@ -986,6 +1052,27 @@ object OracleSql {
       |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS words,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens_bpe
       |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Rational-idf TF-IDF (N/df instead of ln(N/df): ln is libm-dependent
+    // and not bit-portable; the rational weight ranks identically for
+    // equal tf). score_q is a fixed-order double product, floored.
+    "text_tfidf" -> """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |tf AS (
+      |  SELECT doc_id, t AS term, CAST(len(list_filter(ws, x -> x = t)) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, ws, unnest(list_distinct(ws)) AS t FROM w)),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(floor(((CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+      |      * CAST(tf.tf AS DOUBLE)) * 1000.0) AS BIGINT) AS score_q
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score_q DESC, term) AS rnk FROM s)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, tf, df, score_q
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "text_quality" -> """WITH t AS (
       |  SELECT doc_id,

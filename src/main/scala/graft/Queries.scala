@@ -870,6 +870,41 @@ object Queries {
   def tokTopFreq(s: SparkSession, dir: String): DataFrame =
     Curation.tokenTopK(docs(s, dir), "text", 20)
 
+  /** Temperature-scaled (α = 0.5) language mixture over documents: per-lang
+    * rates from curate.Curation.temperatureMixRates, applied by the
+    * deterministic sampling hash, reported as one row per lang with kept
+    * count + kept-id checksum. The synthetic corpus is lang-skewed (en ≈
+    * 44%), so the mix genuinely downsamples en and upsamples the rest.
+    */
+  def mixSample(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureMixReport(docs(s, dir), "doc_id", "lang")
+      .withColumnRenamed("key", "lang")
+      .orderBy(col("lang"))
+
+  /** Per-doc top-3 salient terms (rational-idf TF-IDF variant — see
+    * curate.Curation.tfidfTopTerms for why ln is not engine-portable).
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    Curation.tfidfTopTerms(docs(s, dir), "text", "doc_id", 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** Exact BPE-token-length quartile buckets via the value-domain
+    * histogram (no global sort, no approx sketch — the domain is bounded
+    * by max context length).
+    */
+  def lenBuckets(s: SparkSession, dir: String): DataFrame =
+    Curation.lengthBuckets(
+      docs(s, dir).select(TextAnalysis.bpeTokenCount(col("text")).as("tok")),
+      "tok")
+      .orderBy(col("bucket"))
+
+  /** Deterministic 16-shard global-shuffle plan over documents, folded to
+    * per-shard counts + order-certifying checksums.
+    */
+  def shardPlan(s: SparkSession, dir: String): DataFrame =
+    Curation.shardPlan(docs(s, dir), "doc_id", 16)
+      .orderBy(col("shard"))
+
   /** Per-sequence OOV rate against the corpus' own top-1024 unigram
     * vocabulary (curate/Curation.oovScore): vocab = one bounded agg +
     * TakeOrdered; scoring = explode + broadcast membership join + one

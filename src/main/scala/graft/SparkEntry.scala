@@ -78,7 +78,10 @@ object SparkEntry {
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
     "ivf_fit" -> (Queries.ivfFit _),
     "sample_stratified" -> (Queries.sampleStratified _),
+    "mix_sample" -> (Queries.mixSample _),
     "seq_pack" -> (Queries.seqPack _),
+    "len_buckets" -> (Queries.lenBuckets _),
+    "shard_plan" -> (Queries.shardPlan _),
     "tok_topfreq" -> (Queries.tokTopFreq _),
     "lm_oov" -> (Queries.lmOov _),
     "decontaminate" -> (Queries.decontaminate _),
@@ -86,6 +89,7 @@ object SparkEntry {
     "curation_gate" -> (Queries.curationGate _),
     "text_redact" -> (Queries.textRedact _),
     "text_tokens" -> (Queries.textTokens _),
+    "text_tfidf" -> (Queries.textTfidf _),
     "text_quality" -> (Queries.textQuality _),
     "text_lang_id" -> (Queries.textLangId _),
     "text_fingerprint" -> (Queries.textFingerprint _),

@@ -241,4 +241,174 @@ object Curation {
       .withColumn("oov_permille",
         when(col("n_tok") > 0,
           floor(lit(1000L) * col("n_oov") / col("n_tok"))).cast("long"))
+
+  /** Temperature-scaled mixture rates (multilingual-pretraining data
+    * mixing, α = 0.5): per-key sampling rates ∝ n_k^α / n_k, normalized so
+    * the expected sample is half the corpus — upsampling low-resource keys
+    * and capping dominant ones, the standard re-balance before training.
+    *
+    * Determinism across engines: α = 0.5 means the weight is sqrt — an
+    * IEEE-correctly-rounded primitive in BOTH engines (unlike ln/pow,
+    * which differ by libm) — quantized to an exact long (w_q); the weight
+    * SUM is integer-exact (order-free); the final permille is a
+    * fixed-order double product/quotient, bit-identical wherever IEEE
+    * doubles are, then floored and capped at 1000. No float accumulation
+    * anywhere.
+    *
+    * Scale shape: ONE count aggregate over the corpus (key-cardinality
+    * output — languages/domains, i.e. tiny), window-free totals on the
+    * tiny frame. Applying the rates (see [[sampleStratified]] /
+    * [[temperatureMixReport]]) is a broadcast join + per-row hash filter —
+    * the corpus never shuffles. Stats-then-apply is inherently two corpus
+    * scans; a production run computes rates once and reuses them across
+    * the whole pipeline.
+    */
+  def temperatureMixRates(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_q",
+        floor(sqrt(col("n_docs").cast("double")) * 1000000.0).cast("long"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("w_q")).as("q_sum"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("_budget",
+        floor(col("n_total").cast("double") / 2.0).cast("long"))
+      .withColumn("permille", least(
+        floor(((lit(1000.0) * col("_budget").cast("double")) * col("w_q").cast("double"))
+          / (col("q_sum").cast("double") * col("n_docs").cast("double"))).cast("long"),
+        lit(1000L)))
+      .select(col("key"), col("n_docs"), col("w_q"), col("permille"))
+  }
+
+  /** End-to-end mixture report: rates from [[temperatureMixRates]], applied
+    * via the deterministic [[sampleBucket]] hash, folded back to one row
+    * per key with the kept count and a kept-id checksum (so the oracle
+    * certifies WHICH rows were kept, not just how many). Left join keeps
+    * keys whose rate rounds to zero kept rows.
+    */
+  def temperatureMixReport(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val rates = temperatureMixRates(df, keyCol)
+    val kept = df.select(col(keyCol).as("_k"), col(idCol).as("_id"))
+      .join(broadcast(rates), col("_k") === col("key"))
+      .filter(sampleBucket(col("_id")) < col("permille"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n_kept"), sum(col("_id")).as("_kept_id_sum"))
+    rates.join(kept, col("key") === col("_k"), "left")
+      .select(col("key"), col("n_docs"), col("w_q"), col("permille"),
+        coalesce(col("_n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("_kept_id_sum"), lit(0L)).as("kept_id_sum"))
+  }
+
+  /** Per-document salient terms — the TF-IDF-style signal feeding topic
+    * clustering / dedup triage. tf is computed PER ROW from the words
+    * array (nested higher-order functions — no (doc, term) shuffle for
+    * term frequency); df is one vocabulary-bounded aggregate; the rarity
+    * weight is the rational N/df (quantized, fixed evaluation order)
+    * rather than ln(N/df) — ln is libm-dependent and not bit-portable
+    * across engines, and the rational variant ranks identically for equal
+    * tf. Top-k per doc is row_number + filter: Spark 4 plans a
+    * WindowGroupLimit, so each partition keeps ≤ k rows per doc
+    * pre-shuffle.
+    *
+    * Scale shape: explode volume is Σ distinct-terms/doc (bounded by doc
+    * length); df's partial agg collapses map-side to per-partition
+    * distinct terms before ONE vocab-sized shuffle; the scoring join is a
+    * plain equi-join on term (AQE broadcasts when the vocabulary fits);
+    * the per-doc window shuffles (doc, term, score) tuples once, never
+    * text. Like every stats-then-apply operator, the corpus projection
+    * feeds two subtrees (df and scoring) — a production pipeline
+    * materializes the exploded (doc, term, tf) frame once.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import graft.text.TextAnalysis.words
+    val perDoc = df
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("_ws"))
+      .select(col("doc_id"),
+        explode(transform(array_distinct(col("_ws")),
+          t => struct(t.as("term"),
+            size(filter(col("_ws"), x => x === t)).cast("long").as("tf")))).as("_e"))
+      .select(col("doc_id"), col("_e.term").as("term"), col("_e.tf").as("tf"))
+    val dfCounts = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("term"))
+    perDoc.join(dfCounts, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score_q",
+        floor(((col("n_docs").cast("double") / col("df").cast("double"))
+          * col("tf").cast("double")) * 1000.0).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score_q"))
+  }
+
+  /** EXACT length-quantile bucketing (curriculum / batch-shape planning)
+    * without a global sort: quantiles of a BOUNDED-DOMAIN value (token
+    * count ≤ max context length) come from the value-domain histogram —
+    * one corpus aggregate to (value, count), a running sum over the
+    * domain-sized frame (thousands of rows at ANY corpus scale, so the
+    * unpartitioned window is a non-issue), boundaries = min value whose
+    * cumulative count reaches ceil(k·N/4). Buckets then assign via a
+    * broadcast of the 1-row boundary frame. This is how exact percentiles
+    * stay exact at 100 TB — approx_percentile is never needed when the
+    * domain is bounded.
+    *
+    * Returns one row per quartile bucket: (bucket, n_docs, min_tok,
+    * max_tok, sum_tok). Thresholds use ceil((k·N)/4.0) on doubles — exact
+    * for N < 2^52, fixed order, identical in both engines.
+    */
+  def lengthBuckets(df: DataFrame, lenCol: String): DataFrame = {
+    val t = df.select(col(lenCol).as("tok"))
+    val h = t.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val c = h.withColumn("cum", sum(col("cnt")).over(
+      Window.orderBy(col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = t.agg(count(lit(1)).as("n_docs"))
+    def thr(k: Int) =
+      ceil((lit(k.toLong) * col("n_docs")).cast("double") / 4.0).cast("long")
+    val b = c.crossJoin(broadcast(n)).agg(
+      min(when(col("cum") >= thr(1), col("tok"))).as("b1"),
+      min(when(col("cum") >= thr(2), col("tok"))).as("b2"),
+      min(when(col("cum") >= thr(3), col("tok"))).as("b3"))
+    t.crossJoin(broadcast(b))
+      .withColumn("bucket",
+        when(col("tok") <= col("b1"), lit(0L))
+          .when(col("tok") <= col("b2"), lit(1L))
+          .when(col("tok") <= col("b3"), lit(2L))
+          .otherwise(lit(3L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("tok")).as("min_tok"),
+        max(col("tok")).as("max_tok"), sum(col("tok")).as("sum_tok"))
+  }
+
+  /** Deterministic global-shuffle shard plan — the "shuffle and shard"
+    * step that materializes training shards in pseudo-random order:
+    * shard = hash1(id) mod nShards (the writer's file assignment),
+    * within-shard order = hash2(id) (the global shuffle), both pure
+    * modular arithmetic mirrorable bit-for-bit in ANSI SQL (constants
+    * chosen so every product stays < 2^63 for any int64 id — same
+    * overflow discipline as [[sampleBucket]]).
+    *
+    * One shuffle on shard + one per-shard sort: exactly the physical work
+    * a shard writer performs (row_number = the row's position in its
+    * shard file). Per-shard partitions hold corpus/nShards rows —
+    * production picks nShards so each shard fits a reducer, the same
+    * sizing every shard writer already does. The report folds each shard
+    * to one row: counts, id checksum, the first id in shuffle order, and
+    * a position-weighted checksum certifying the ENTIRE within-shard
+    * ordering (at test scale exact in int64; a 10^9-row shard would move
+    * it to DECIMAL(38,0) — see drift EMD for the pattern).
+    */
+  def shardPlan(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val t = df.select(col(idCol).as("_id"),
+      pmod((col(idCol) % 1000003L) * 2654435761L + 40503L, lit(nShards.toLong)).as("shard"),
+      pmod((col(idCol) % 999983L) * 1103515245L + 54321L, lit(1000000007L)).as("ord"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("_id"))
+    t.withColumn("seq", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_id")).as("id_sum"),
+        max(when(col("seq") === 1L, col("_id"))).as("first_id"),
+        sum(col("seq") * (col("_id") % 1000003L)).as("order_sum"))
+  }
 }

@@ -204,6 +204,87 @@ class CurationSpec extends SparkTestBase {
       .select("tok").collect().map(_.getInt(0)).toSeq == Seq(5))
   }
 
+  test("temperatureMixRates: sqrt weights, half-corpus budget, cap at 1000") {
+    // keys a:100, b:4 → w_q 10e6 / 2e6, q_sum 12e6, N=104, budget=52.
+    // permille_a = floor(1000*52*10e6 / (12e6*100)) = 433
+    // permille_b = floor(1000*52*2e6 / (12e6*4)) = 2166 → capped 1000
+    val df = (Seq.fill(100)("a") ++ Seq.fill(4)("b")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val got = Curation.temperatureMixRates(df, "k")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") === ((100L, 10000000L, 433L)))
+    assert(got("b") === ((4L, 2000000L, 1000L)))
+  }
+
+  test("temperatureMixReport kept counts equal a driver-side recount of the hash filter") {
+    val out = Curation.temperatureMixReport(docs, "doc_id", "lang")
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val d = docs.select(col("doc_id"), col("lang"),
+        Curation.sampleBucket(col("doc_id")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out.foreach { case (lang, (permille, nKept, idSum)) =>
+      val kept = d.filter(x => x._2 == lang && x._3 < permille)
+      assert(kept.size.toLong === nKept, s"lang $lang")
+      assert(kept.map(_._1).sum === idSum, s"lang $lang")
+    }
+  }
+
+  test("tfidfTopTerms: hand-checked rational-idf scores, rank and term tie-break") {
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c d")).toDF("doc_id", "text")
+    // N=3; df: a 1, b 2, c 2, d 1. score = floor(N/df * tf * 1000)
+    val got = Curation.tfidfTopTerms(df, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got((1L, 1L)) === (("a", 2L, 1L, 6000L)))
+    assert(got((1L, 2L)) === (("b", 1L, 2L, 1500L)))
+    // doc 2: b and c tie at 1500 → term order breaks the tie
+    assert(got((2L, 1L)) === (("b", 1L, 2L, 1500L)))
+    assert(got((2L, 2L)) === (("c", 1L, 2L, 1500L)))
+    assert(got((3L, 1L)) === (("c", 3L, 2L, 4500L)))
+    assert(got((3L, 2L)) === (("d", 1L, 1L, 3000L)))
+  }
+
+  test("tfidfTopTerms top-k per doc plans WindowGroupLimit (partial per-partition limit)") {
+    val plan = Curation.tfidfTopTerms(docs, "text", "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("lengthBuckets: exact quartiles on a dense domain and on a degenerate one") {
+    val dense = (1L to 8L).toDF("tok")
+    val g1 = Curation.lengthBuckets(dense, "tok").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // thresholds ceil(k*8/4) = 2,4,6 → boundaries 2,4,6
+    assert(g1(0L) === ((2L, 1L, 2L, 3L)))
+    assert(g1(1L) === ((2L, 3L, 4L, 7L)))
+    assert(g1(2L) === ((2L, 5L, 6L, 11L)))
+    assert(g1(3L) === ((2L, 7L, 8L, 15L)))
+    // heavy duplication: all three boundaries collapse onto the mode
+    val degen = Seq(5L, 5L, 5L, 9L).toDF("tok")
+    val g2 = Curation.lengthBuckets(degen, "tok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 === Map(0L -> 3L, 3L -> 1L)) // buckets 1/2 empty → absent
+  }
+
+  test("shardPlan: balanced shards, full coverage, and an order-certifying checksum") {
+    val df = (0L until 100L).toDF("doc_id")
+    val got = Curation.shardPlan(df, "doc_id", 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.values.map(_._1).sum === 100L)
+    assert(got.values.map(_._2).sum === (0L until 100L).sum)
+    // recompute the exact plan driver-side (same hashes, same ordering)
+    val expect = (0L until 100L)
+      .map(id => (((id % 1000003L) * 2654435761L + 40503L) % 4,
+                  ((id % 999983L) * 1103515245L + 54321L) % 1000000007L, id))
+      .groupBy(_._1).map { case (sh, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        val orderSum = sorted.zipWithIndex
+          .map { case ((_, _, id), i) => (i + 1L) * (id % 1000003L) }.sum
+        sh -> ((rows.size.toLong, rows.map(_._3).sum, sorted.head._3, orderSum))
+      }
+    assert(got === expect)
+  }
+
   test("drift EMD: hand-computed value, integer-exact numerator, shift sensitivity") {
     import spark.implicits._
     // epoch 0: 4 rows in bucket 0; epoch 1: 2 in bucket 0, 2 in bucket 1.
