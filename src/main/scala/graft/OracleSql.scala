@@ -1061,17 +1061,18 @@ object OracleSql {
       |tf AS (
       |  SELECT doc_id, t AS term, CAST(len(list_filter(ws, x -> x = t)) AS BIGINT) AS tf
       |  FROM (SELECT doc_id, ws, unnest(list_distinct(ws)) AS t FROM w)),
-      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |              CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY term),
       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
       |s AS (
-      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df, df.ctf,
       |    CAST(floor(((CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
       |      * CAST(tf.tf AS DOUBLE)) * 1000.0) AS BIGINT) AS score_q
       |  FROM tf JOIN df USING (term) CROSS JOIN n),
       |r AS (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id
       |    ORDER BY score_q DESC, term) AS rnk FROM s)
-      |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, tf, df, score_q
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, tf, df, ctf, score_q
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "text_quality" -> """WITH t AS (

@@ -300,46 +300,52 @@ object Curation {
   }
 
   /** Per-document salient terms — the TF-IDF-style signal feeding topic
-    * clustering / dedup triage. tf is computed PER ROW from the words
-    * array (nested higher-order functions — no (doc, term) shuffle for
-    * term frequency); df is one vocabulary-bounded aggregate; the rarity
-    * weight is the rational N/df (quantized, fixed evaluation order)
-    * rather than ln(N/df) — ln is libm-dependent and not bit-portable
-    * across engines, and the rational variant ranks identically for equal
-    * tf. Top-k per doc is row_number + filter: Spark 4 plans a
-    * WindowGroupLimit, so each partition keeps ≤ k rows per doc
-    * pre-shuffle.
+    * clustering / dedup triage. tf = explode → ONE (doc, term) hash
+    * aggregate — LINEAR in corpus tokens (a per-row nested-HOF tf
+    * [filter inside transform over distinct terms] would be
+    * O(distinct × length) per doc: quadratic on long documents, the same
+    * interpreted-lambda cliff measured on the IVF cosine in round 3 —
+    * rejected); df = a second, vocabulary-bounded aggregate DERIVED FROM
+    * the tf frame (one row per (doc, term) ⇒ count per term = document
+    * frequency), whose identical exchange subtree Spark dedups via
+    * ReusedExchange. The rarity weight is the rational N/df (quantized,
+    * fixed evaluation order) rather than ln(N/df) — ln is libm-dependent
+    * and not bit-portable across engines, and the rational variant ranks
+    * identically for equal tf. Top-k per doc is row_number + filter:
+    * Spark 4 plans a WindowGroupLimit, so each partition keeps ≤ k rows
+    * per doc pre-shuffle.
     *
-    * Scale shape: explode volume is Σ distinct-terms/doc (bounded by doc
-    * length); df's partial agg collapses map-side to per-partition
-    * distinct terms before ONE vocab-sized shuffle; the scoring join is a
-    * plain equi-join on term (AQE broadcasts when the vocabulary fits);
-    * the per-doc window shuffles (doc, term, score) tuples once, never
-    * text. Like every stats-then-apply operator, the corpus projection
-    * feeds two subtrees (df and scoring) — a production pipeline
-    * materializes the exploded (doc, term, tf) frame once.
+    * Scale shape: ONE corpus scan; the (doc, term) shuffle carries token
+    * pairs compacted map-side by partial aggregation; df's partial agg
+    * collapses to per-partition distinct terms before the vocab-sized
+    * exchange; the scoring join is a plain equi-join on term (AQE
+    * broadcasts when the vocabulary fits); the per-doc window shuffles
+    * (doc, term, score) tuples once, never text.
     */
   def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     import graft.text.TextAnalysis.words
-    val perDoc = df
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("_ws"))
-      .select(col("doc_id"),
-        explode(transform(array_distinct(col("_ws")),
-          t => struct(t.as("term"),
-            size(filter(col("_ws"), x => x === t)).cast("long").as("tf")))).as("_e"))
-      .select(col("doc_id"), col("_e.term").as("term"), col("_e.tf").as("tf"))
-    val dfCounts = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfFrame = df
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df AND ctf (collection term frequency) in one agg: carrying sum(tf)
+    // keeps this subtree's column set identical to the scoring side's, so
+    // the planner's canonical-plan check dedups the shared (doc, term)
+    // exchange — df alone would prune `tf` here and fork a second corpus
+    // scan (verified by the one-scan PlanSpec-style assertion).
+    val dfCounts = tfFrame.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_q").desc, col("term"))
-    perDoc.join(dfCounts, Seq("term")).crossJoin(broadcast(n))
+    tfFrame.join(dfCounts, Seq("term")).crossJoin(broadcast(n))
       .withColumn("score_q",
         floor(((col("n_docs").cast("double") / col("df").cast("double"))
           * col("tf").cast("double")) * 1000.0).cast("long"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),
-        col("df"), col("score_q"))
+        col("df"), col("ctf"), col("score_q"))
   }
 
   /** EXACT length-quantile bucketing (curriculum / batch-shape planning)

@@ -231,23 +231,42 @@ class CurationSpec extends SparkTestBase {
 
   test("tfidfTopTerms: hand-checked rational-idf scores, rank and term tie-break") {
     val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c d")).toDF("doc_id", "text")
-    // N=3; df: a 1, b 2, c 2, d 1. score = floor(N/df * tf * 1000)
+    // N=3; df: a 1, b 2, c 2, d 1; ctf: a 2, b 2, c 4, d 1.
+    // score = floor(N/df * tf * 1000)
     val got = Curation.tfidfTopTerms(df, "text", "doc_id", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
-    assert(got((1L, 1L)) === (("a", 2L, 1L, 6000L)))
-    assert(got((1L, 2L)) === (("b", 1L, 2L, 1500L)))
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got((1L, 1L)) === (("a", 2L, 1L, 2L, 6000L)))
+    assert(got((1L, 2L)) === (("b", 1L, 2L, 2L, 1500L)))
     // doc 2: b and c tie at 1500 → term order breaks the tie
-    assert(got((2L, 1L)) === (("b", 1L, 2L, 1500L)))
-    assert(got((2L, 2L)) === (("c", 1L, 2L, 1500L)))
-    assert(got((3L, 1L)) === (("c", 3L, 2L, 4500L)))
-    assert(got((3L, 2L)) === (("d", 1L, 1L, 3000L)))
+    assert(got((2L, 1L)) === (("b", 1L, 2L, 2L, 1500L)))
+    assert(got((2L, 2L)) === (("c", 1L, 2L, 4L, 1500L)))
+    assert(got((3L, 1L)) === (("c", 3L, 2L, 4L, 4500L)))
+    assert(got((3L, 2L)) === (("d", 1L, 1L, 1L, 3000L)))
   }
 
   test("tfidfTopTerms top-k per doc plans WindowGroupLimit (partial per-partition limit)") {
     val plan = Curation.tfidfTopTerms(docs, "text", "doc_id", 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("tfidfTopTerms scans the corpus once for tf+df (ReusedExchange) plus once for N") {
+    // tf and df share one exploded (doc, term) aggregate subtree; the
+    // planner must dedup its exchange (ReusedExchange), not re-scan and
+    // re-explode the corpus. The only other scan is the 1-row corpus
+    // count feeding the idf weight. Asserted with AQE off because the
+    // static plan shows the reuse node directly; under AQE the same dedup
+    // happens at runtime via query-stage reuse (canonicalized-plan cache).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Curation.tfidfTopTerms(docs, "text", "doc_id", 3)
+        .queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans === 2, s"expected tf/df shared scan + count scan, got $scans:\n${plan.take(1200)}")
+      assert(plan.contains("ReusedExchange"), plan.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("lengthBuckets: exact quartiles on a dense domain and on a degenerate one") {
