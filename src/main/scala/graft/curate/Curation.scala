@@ -256,21 +256,23 @@ object Curation {
     * anywhere.
     *
     * Scale shape: ONE count aggregate over the corpus (key-cardinality
-    * output — languages/domains, i.e. tiny), window-free totals on the
-    * tiny frame. Applying the rates (see [[sampleStratified]] /
-    * [[temperatureMixReport]]) is a broadcast join + per-row hash filter —
-    * the corpus never shuffles. Stats-then-apply is inherently two corpus
-    * scans; a production run computes rates once and reuses them across
-    * the whole pipeline.
+    * output — languages/domains, i.e. tiny); the normalizing totals are
+    * an unpartitioned window over that tiny frame (same bounded-domain
+    * argument as [[lengthBuckets]] — never corpus-sized), so the rates
+    * subtree carries exactly one corpus scan. Applying the rates (see
+    * [[sampleStratified]] / [[temperatureMixReport]]) is a broadcast
+    * join + per-row hash filter — the corpus never shuffles.
+    * Stats-then-apply is inherently two corpus scans; a production run
+    * computes rates once and reuses them across the whole pipeline.
     */
   def temperatureMixRates(df: DataFrame, keyCol: String): DataFrame = {
-    val counts = df.groupBy(col(keyCol).as("key"))
+    val wAll = Window.partitionBy()
+    df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w_q",
         floor(sqrt(col("n_docs").cast("double")) * 1000000.0).cast("long"))
-    val tot = counts.agg(sum(col("n_docs")).as("n_total"),
-      sum(col("w_q")).as("q_sum"))
-    counts.crossJoin(broadcast(tot))
+      .withColumn("n_total", sum(col("n_docs")).over(wAll))
+      .withColumn("q_sum", sum(col("w_q")).over(wAll))
       .withColumn("_budget",
         floor(col("n_total").cast("double") / 2.0).cast("long"))
       .withColumn("permille", least(
@@ -280,23 +282,22 @@ object Curation {
       .select(col("key"), col("n_docs"), col("w_q"), col("permille"))
   }
 
-  /** End-to-end mixture report: rates from [[temperatureMixRates]], applied
-    * via the deterministic [[sampleBucket]] hash, folded back to one row
-    * per key with the kept count and a kept-id checksum (so the oracle
-    * certifies WHICH rows were kept, not just how many). Left join keeps
-    * keys whose rate rounds to zero kept rows.
+  /** End-to-end mixture report: rates from [[temperatureMixRates]]
+    * broadcast onto the corpus, the [[sampleBucket]] keep-decision folded
+    * into conditional aggregates — one row per key with the kept count
+    * and a kept-id checksum (so the oracle certifies WHICH rows were
+    * kept, not just how many). No post-filter outer join: every key has
+    * corpus rows by construction, so keys whose rate keeps zero rows
+    * still aggregate (to 0/0). Two corpus scans total (stats + apply),
+    * plan-pinned.
     */
   def temperatureMixReport(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    val rates = temperatureMixRates(df, keyCol)
-    val kept = df.select(col(keyCol).as("_k"), col(idCol).as("_id"))
-      .join(broadcast(rates), col("_k") === col("key"))
-      .filter(sampleBucket(col("_id")) < col("permille"))
-      .groupBy(col("_k"))
-      .agg(count(lit(1)).as("_n_kept"), sum(col("_id")).as("_kept_id_sum"))
-    rates.join(kept, col("key") === col("_k"), "left")
-      .select(col("key"), col("n_docs"), col("w_q"), col("permille"),
-        coalesce(col("_n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("_kept_id_sum"), lit(0L)).as("kept_id_sum"))
+    val keep = sampleBucket(col("_id")) < col("permille")
+    df.select(col(keyCol).as("_k"), col(idCol).as("_id"))
+      .join(broadcast(temperatureMixRates(df, keyCol)), col("_k") === col("key"))
+      .groupBy(col("key"), col("n_docs"), col("w_q"), col("permille"))
+      .agg(sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, col("_id")).otherwise(0L)).as("kept_id_sum"))
   }
 
   /** Per-document salient terms — the TF-IDF-style signal feeding topic
@@ -369,7 +370,10 @@ object Curation {
     val c = h.withColumn("cum", sum(col("cnt")).over(
       Window.orderBy(col("tok"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val n = t.agg(count(lit(1)).as("n_docs"))
+    // N from the histogram, NOT a third corpus scan — the shared
+    // histogram exchange dedups (plan-pinned at 2 corpus scans total:
+    // histogram + bucket assignment, the stats-then-apply minimum)
+    val n = h.agg(sum(col("cnt")).as("n_docs"))
     def thr(k: Int) =
       ceil((lit(k.toLong) * col("n_docs")).cast("double") / 4.0).cast("long")
     val b = c.crossJoin(broadcast(n)).agg(

@@ -285,6 +285,30 @@ class CurationSpec extends SparkTestBase {
     assert(g2 === Map(0L -> 3L, 3L -> 1L)) // buckets 1/2 empty → absent
   }
 
+  test("lengthBuckets plans TWO corpus scans (histogram reused for N, then assignment)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Curation.lengthBuckets(
+        docs.select(graft.text.TextAnalysis.bpeTokenCount(col("text")).as("tok")), "tok")
+        .queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans === 2, s"expected histogram + assignment scans only, got $scans:\n${plan.take(1200)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("temperatureMixReport: stats + apply = two corpus scans, broadcast-join apply") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = Curation.temperatureMixReport(docs, "doc_id", "lang")
+      val plan = q.queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans === 2, s"expected count + apply scans only, got $scans:\n${plan.take(1200)}")
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("shardPlan: balanced shards, full coverage, and an order-certifying checksum") {
     val df = (0L until 100L).toDF("doc_id")
     val got = Curation.shardPlan(df, "doc_id", 4).collect()
