@@ -216,6 +216,33 @@ class CurationSpec extends SparkTestBase {
     assert(got("b") === ((4L, 2000000L, 1000L)))
   }
 
+  test("temperatureMixRates invariants: rate bounds, half-corpus budget conservation, inverse-size monotonicity (seeded trials)") {
+    val rnd = new scala.util.Random(4242L)
+    (1 to 3).foreach { trial =>
+      val k = 2 + rnd.nextInt(6)
+      val base = 50 + rnd.nextInt(2000)
+      // counts within 2x of each other → the 1000-permille cap cannot bind,
+      // so the floor-only budget bound below is tight
+      val counts = (0 until k).map(i => s"k$i" -> (base + rnd.nextInt(base)).toLong)
+      val df = counts.flatMap { case (key, n) => (0L until n).map(i => (i, key)) }
+        .toDF("id", "k")
+      val rates = Curation.temperatureMixRates(df, "k")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+      val nTotal = counts.map(_._2).sum
+      val budget = nTotal / 2
+      rates.values.foreach { case (_, p) => assert(p >= 0L && p <= 1000L) }
+      // exact-rational expected kept is B; each floor loses < n_s/1000
+      val keptExpected = rates.values.map { case (n, p) => n * p }.sum / 1000.0
+      assert(keptExpected <= budget + k, s"trial $trial: $keptExpected > $budget")
+      assert(keptExpected > budget - nTotal / 1000.0 - k,
+        s"trial $trial: $keptExpected vs $budget (floor slack exceeded)")
+      // temperature < 1 upsamples smaller keys: rate is monotone in 1/size
+      val bySize = counts.sortBy(_._2).map { case (key, _) => rates(key)._2 }
+      assert(bySize.zip(bySize.tail).forall { case (a, b) => a >= b },
+        s"trial $trial: permille not non-increasing in key size: $counts -> $rates")
+    }
+  }
+
   test("temperatureMixReport kept counts equal a driver-side recount of the hash filter") {
     val out = Curation.temperatureMixReport(docs, "doc_id", "lang")
       .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
