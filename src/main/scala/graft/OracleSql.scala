@@ -905,6 +905,19 @@ object OracleSql {
       |GROUP BY r.lang, r.n_docs, r.w_q, r.permille
       |ORDER BY r.lang""".stripMargin,
 
+    // Per-key quota in deterministic hash order (same order hash as
+    // shard_plan's within-shard shuffle).
+    "sample_cap_per_key" -> """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    ((doc_id % 999983) * 1103515245 + 54321) % 1000000007 AS ord
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY ord, doc_id) AS rnk
+      |  FROM t)
+      |SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rank
+      |FROM r WHERE rnk <= 10 ORDER BY lang, rank""".stripMargin,
+
     // Exact quartiles from the value-domain histogram — the oracle mirrors
     // histogram → running sum → min-threshold boundary → bucket stats.
     "len_buckets" -> """WITH t AS (

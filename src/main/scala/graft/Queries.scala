@@ -905,6 +905,15 @@ object Queries {
     Curation.shardPlan(docs(s, dir), "doc_id", 16)
       .orderBy(col("shard"))
 
+  /** At most 10 docs per lang, selected by deterministic hash order
+    * (curate.Curation.capPerKey — WindowGroupLimit keeps ≤ k per
+    * partition pre-shuffle).
+    */
+  def sampleCapPerKey(s: SparkSession, dir: String): DataFrame =
+    Curation.capPerKey(docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", 10)
+      .orderBy(col("lang"), col("rank"))
+
   /** Per-sequence OOV rate against the corpus' own top-1024 unigram
     * vocabulary (curate/Curation.oovScore): vocab = one bounded agg +
     * TakeOrdered; scoring = explode + broadcast membership join + one

@@ -79,6 +79,7 @@ object SparkEntry {
     "ivf_fit" -> (Queries.ivfFit _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "mix_sample" -> (Queries.mixSample _),
+    "sample_cap_per_key" -> (Queries.sampleCapPerKey _),
     "seq_pack" -> (Queries.seqPack _),
     "len_buckets" -> (Queries.lenBuckets _),
     "shard_plan" -> (Queries.shardPlan _),

@@ -391,6 +391,28 @@ object Curation {
         max(col("tok")).as("max_tok"), sum(col("tok")).as("sum_tok"))
   }
 
+  /** Deterministic fixed-size cap per key — "at most k docs per
+    * domain/language", the quota-style complement of rate-based
+    * [[sampleStratified]]: which k is decided by a pseudo-random but
+    * deterministic hash order (same overflow-safe modular arithmetic as
+    * [[shardPlan]]'s order hash), so the cap selects a uniform-ish,
+    * re-run-stable sample rather than "first k by id".
+    *
+    * Scale shape: row_number + filter(≤ k) plans a WindowGroupLimit, so
+    * every partition keeps AT MOST k rows per key BEFORE the exchange —
+    * the shuffle carries O(k × keys × partitions-touched) rows, never the
+    * corpus, and no reducer ever sorts a full key partition. That is what
+    * makes a per-key quota safe when one key owns half of 100 TB.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_ord"), col(idCol))
+    df.withColumn("_ord",
+        pmod((col(idCol) % 999983L) * 1103515245L + 54321L, lit(1000000007L)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("_ord")
+  }
+
   /** Deterministic global-shuffle shard plan — the "shuffle and shard"
     * step that materializes training shards in pseudo-random order:
     * shard = hash1(id) mod nShards (the writer's file assignment),

@@ -336,6 +336,23 @@ class CurationSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("capPerKey: hash-order quota per key, deterministic, WindowGroupLimit-planned") {
+    val df = (1L to 6L).map(id => (id, if (id <= 4) "a" else "b")).toDF("id", "k")
+    def ord(id: Long) = ((id % 999983L) * 1103515245L + 54321L) % 1000000007L
+    val expect = (1L to 6L).map(id => (if (id <= 4) "a" else "b", id))
+      .groupBy(_._1).flatMap { case (key, rows) =>
+        rows.map(_._2).sortBy(id => (ord(id), id)).take(2).zipWithIndex
+          .map { case (id, i) => (id, key, i + 1L) }
+      }.toSet
+    val got = Curation.capPerKey(df, "id", "k", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expect)
+    val plan = Curation.capPerKey(docs.select(col("doc_id"), col("lang")),
+        "doc_id", "lang", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
   test("shardPlan: balanced shards, full coverage, and an order-certifying checksum") {
     val df = (0L until 100L).toDF("doc_id")
     val got = Curation.shardPlan(df, "doc_id", 4).collect()
