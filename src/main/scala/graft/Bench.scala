@@ -463,11 +463,10 @@ object Bench {
     val scalingStdout =
       f"""{"rows":$scaleRows,"t8":$t8%.2f,"t32":$t32%.2f,""" +
       f""""rps32":${thr32.toLong},"efficiency":$eff%.3f,""" +
-      f""""steal8":$steal8%.1f,"steal32":$steal32%.1f,""" +
-      f""""rounds":$roundsRun}"""
+      f""""st8":$steal8%.1f,"st32":$steal32%.1f}"""
     val scalingCompact = scalingStdout.dropRight(1) +
-      f""","storage_rps32":$storageThr,"rps8":${thr8.toLong},""" +
-      f""""components":$compJson}"""
+      f""","rounds":$roundsRun,"storage_rps32":$storageThr,""" +
+      f""""rps8":${thr8.toLong},"components":$compJson}"""
     // full-detail record (per-stage task metrics for both chosen reps):
     // this run's raw table, unmerged — the regression-visible artifact the
     // min-merged BASELINE.md deliberately is not (ADVICE r3)
@@ -624,7 +623,11 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
         .mkString("{", ",", "}")
       val more = if (omitted > 0) s""","q_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$more,"sf":"$sfDir","scaling":$scaling}"""
+      // sf is echoed as the basename (sf0.1) — the full path is in
+      // BENCH/last_run.json; every stdout char spent here is a char the
+      // query map can't use
+      val sfName = sfDir.stripSuffix("/").split('/').last
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$more,"sf":"$sfName","scaling":$scaling}"""
     }
     // degradation ladder: full map at %.2f, then full map at %.1f (the
     // complete 3-decimal map is always in BENCH/last_run.json), and only

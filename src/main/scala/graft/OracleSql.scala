@@ -293,6 +293,37 @@ object OracleSql {
       |    WHERE doc_id % 7 = 0 AND length(text) < 200
       |) v ORDER BY constraint_id, doc_id""".stripMargin,
 
+    // CondRequire semantics mirrored literally: COALESCE(guard, FALSE)
+    // AND NOT COALESCE(consequent, FALSE)
+    "cond_violations" -> s"""WITH $Dirty
+      |SELECT doc_id, constraint_id FROM (
+      |  SELECT doc_id, 'cond_src1_cap' AS constraint_id FROM dirty
+      |    WHERE COALESCE(source = 'src1', FALSE)
+      |      AND NOT COALESCE(n_tok <= 256, FALSE)
+      |  UNION ALL
+      |  SELECT doc_id, 'cond_zero_empty' FROM dirty
+      |    WHERE COALESCE(n_tok = 0, FALSE)
+      |      AND NOT COALESCE(len(tokens) = 0, FALSE)
+      |) v ORDER BY constraint_id, doc_id NULLS FIRST""".stripMargin,
+
+    // OrderAudit: the same planted 6-hour shift on every 37th event, the
+    // same (user, event_id-order) lag compare, all in BIGINT epoch-micros
+    "order_audit" -> """WITH shifted AS (
+      |  SELECT event_id, user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) -
+      |           CASE WHEN event_id % 37 = 0 THEN 21600000000 ELSE 0 END AS t_us
+      |  FROM events
+      |), lagged AS (
+      |  SELECT user_id, event_id, t_us,
+      |         lag(t_us)     OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t_us,
+      |         lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_id
+      |  FROM shifted
+      |)
+      |SELECT user_id, event_id, prev_event_id,
+      |       CAST(prev_t_us - t_us AS BIGINT) AS regress_us
+      |FROM lagged WHERE t_us < prev_t_us
+      |ORDER BY user_id, event_id""".stripMargin,
+
     "q_cube" -> """SELECT o_orderstatus, o_orderpriority,
       |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
       |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,

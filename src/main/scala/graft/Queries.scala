@@ -269,6 +269,46 @@ object Queries {
       .orderBy(col("constraint_id"), col("doc_id"))
   }
 
+  /** Conditional cross-field constraints (P38 — declared, not coded):
+    * "rows WHERE <guard> must satisfy <consequent>", compiled into the
+    * same fused row pass as every other row constraint. Two business
+    * rules over the dirty slice:
+    *   - src1 sequences must stay within a 256-token cap (fires on the
+    *     ~half of src1 rows whose generated n_tok lands above 256, plus
+    *     the planted n_tok=9999 rows that fall in src1);
+    *   - a zero-token claim demands an actually-empty token array (fires
+    *     on every cls≡5 planted row: n_tok=0 over a non-empty array).
+    */
+  def condViolations(s: SparkSession, dir: String): DataFrame = {
+    val cs = Seq(
+      CondRequire("cond_src1_cap",
+        col("source") === "src1", col("n_tok") <= 256),
+      CondRequire("cond_zero_empty",
+        col("n_tok") === 0, size(col("tokens")) === 0))
+    ConstraintCompiler.violations(dirty(s, dir), cs, Seq("doc_id"))
+      .orderBy(col("constraint_id"), col("doc_id").asc_nulls_first)
+  }
+
+  /** Ordering (monotonicity) audit (P39): out-of-order timestamp detection
+    * per user over the events stream, traversed in ingestion (event_id)
+    * order. Inversions are PLANTED deterministically — every 37th event is
+    * shifted 6 hours early — so an inversion appears exactly where the
+    * same user's preceding event fell inside that window. All timestamp
+    * arithmetic stays in BIGINT epoch-micros (NTZ-safe, hash-portable).
+    */
+  def orderAudit(s: SparkSession, dir: String): DataFrame = {
+    val shifted = events(s, dir).select(
+      col("event_id"), col("user_id"),
+      (unix_micros(col("ts").cast("timestamp")) -
+        when(pmod(col("event_id"), lit(37L)) === 0L, lit(21600000000L))
+          .otherwise(lit(0L))).as("t_us"))
+    graft.rel.OrderAudit.inversions(shifted, "user_id", col("t_us"), "event_id")
+      .select(col("user_id"), col("event_id"),
+        col("_prev_ord").as("prev_event_id"),
+        (col("_prev_t_us") - col("_t_us")).as("regress_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Per-source n_tok histogram through the custom typed Aggregator
     * (graft.stats.HistogramAgg — bounded Array[Long] buffers merged
     * map-side, the Dataset-native treeAggregate). Exploded to rows so the

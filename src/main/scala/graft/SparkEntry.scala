@@ -41,6 +41,8 @@ object SparkEntry {
     "drift_emd" -> (Queries.driftEmd _),
     "hist_udaf" -> (Queries.histUdaf _),
     "custom_validator" -> (Queries.customValidator _),
+    "cond_violations" -> (Queries.condViolations _),
+    "order_audit" -> (Queries.orderAudit _),
     "events_drift" -> (Queries.eventsDrift _),
     "json_roundtrip" -> (Queries.jsonRoundtrip _),
     "avro_roundtrip" -> (Queries.avroRoundtrip _),

@@ -144,6 +144,24 @@ final case class CustomRow(id: String, violatesWhen: Column) extends RowConstrai
   def violates: Column = coalesce(violatesWhen, lit(false))
 }
 
+/** Cross-field conditional rule: when `guard` holds, `consequent` must
+  * hold too ("rows WHERE <guard> must satisfy <consequent>" — the
+  * conditional form pyschema users write as custom Field validators,
+  * declared instead of coded). Pure Column in, pure Column out, so it
+  * rides the same fused row pass and stays inside whole-stage codegen.
+  *
+  * NULL semantics: a NULL guard verdict never fires the rule (the
+  * condition is unproven, so nothing is demanded — mirrors how every
+  * non-Required constraint passes on NULL input); under a FIRING guard a
+  * NULL consequent verdict IS a violation (the demanded property is
+  * unproven — mirrors Required's strictness on the demanded side).
+  */
+final case class CondRequire(id: String, guard: Column, consequent: Column)
+    extends RowConstraint {
+  def violates: Column =
+    coalesce(guard, lit(false)) && !coalesce(consequent, lit(false))
+}
+
 /** Guards a nested (SubRecord) constraint so it only fires when the parent
   * struct is present — keeps "one violation per cause" under null parents.
   */
@@ -175,4 +193,15 @@ final case class Drift(column: String, epochColumn: String, bucketWidth: Long,
                        ksThreshold: Double = 0.1)
     extends Constraint {
   val id = s"drift_$column"
+}
+
+/** Intra-key ordering invariant: `column` must be non-decreasing when each
+  * `keyColumn` partition is traversed in `orderColumn` order (out-of-order
+  * ingestion / late-arrival detection). Cross-row within a key — executed
+  * by graft.rel.OrderAudit as ONE shuffle on the key + a per-partition
+  * sort and a running lag compare.
+  */
+final case class Monotonic(column: String, orderColumn: String, keyColumn: String)
+    extends Constraint {
+  val id = s"monotonic_$column"
 }

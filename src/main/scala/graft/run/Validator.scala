@@ -68,6 +68,8 @@ object Validator {
           .select(col(u.column).as(keyCol), col("constraint_id")))
       case d: Drift =>
         Some(graft.drift.DriftGate.violationsGlobal(df, d, keyCol))
+      case m: Monotonic =>
+        Some(graft.rel.OrderAudit.violations(df, m, keyCol))
       case _: RefIntegrity => None // fused into the row pass above
       case _: RowConstraint => None // already in schema.rowConstraints above
       case other =>

@@ -89,13 +89,12 @@ class BenchMergeSpec extends AnyFunSuite {
   }
 
   // realistic worst-width scaling block (large rows, 3-digit walls) —
-  // mirrors Bench.scalingStdout's key set (storage_rps32/rps8/components
-  // live only in BENCH/last_run.json)
+  // mirrors Bench.scalingStdout's key set (rounds/storage_rps32/rps8/
+  // components live only in BENCH/last_run.json)
   private val scalingBlock =
     """{"rows":200000000,"t8":114.75,"t32":46.35,""" +
     """"rps32":4315000,"efficiency":0.619,""" +
-    """"steal8":0.4,"steal32":1.2,""" +
-    """"rounds":6}"""
+    """"st8":0.4,"st32":1.2}"""
 
   test("driver stdout line stays inside the tail-capture budget at ANY suite size") {
     // BENCH_r03: an oversized final line gives rc=0 + parsed:null — the

@@ -74,4 +74,23 @@ class CompilerSpec extends SparkTestBase {
     assert(counted === exploded)
     assert(counted === 4L)
   }
+
+  test("CondRequire truth table: guard/consequent NULL semantics") {
+    // (guard-col, consequent-col) over nullable booleans encoded as ints:
+    // violation ⇔ COALESCE(g,false) && !COALESCE(c,false)
+    val rows = Seq[(Long, Option[Int], Option[Int])](
+      (1L, Some(1), Some(1)), // guard fires, consequent holds → pass
+      (2L, Some(1), Some(0)), // guard fires, consequent fails → VIOLATION
+      (3L, Some(1), None), // guard fires, consequent unproven (NULL) → VIOLATION
+      (4L, Some(0), Some(0)), // guard doesn't fire → pass
+      (5L, None, Some(0)), // guard unproven (NULL) → pass
+      (6L, None, None) // both unproven → pass
+    )
+    val df = rows.toDF("k", "g", "c")
+    val rule = CondRequire("cond_rule",
+      col("g") === 1, col("c") === 1)
+    val got = ConstraintCompiler.violations(df, Seq(rule), Seq("k"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 3L))
+  }
 }

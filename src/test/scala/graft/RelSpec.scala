@@ -261,4 +261,43 @@ class RelSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
   }
+
+  // ---------- ordering (monotonicity) audit ----------
+
+  test("order audit: regression fires, equal timestamps don't, keys isolate, NULLs never fire") {
+    // key 1: 10 → 20 → 15 (inversion at ord 3) → 15 (equal: NOT an
+    //   inversion) → NULL (unproven: never fires) → 30 (prev is NULL:
+    //   never fires — the comparison is unproven, not a regression)
+    // key 2: descends 100 → 5 across keys is irrelevant; within key 2 the
+    //   single row can't invert (first row of a key never fires)
+    val rows = Seq[(Long, Long, Option[Long])](
+      (1L, 1L, Some(10L)), (1L, 2L, Some(20L)), (1L, 3L, Some(15L)),
+      (1L, 4L, Some(15L)), (1L, 5L, None), (1L, 6L, Some(30L)),
+      (2L, 7L, Some(5L)))
+    val df = rows.toDF("k", "ord", "t_us")
+    val got = graft.rel.OrderAudit.inversions(df, "k", col("t_us"), "ord")
+      .select("k", "ord", "_prev_ord").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 3L, 2L)))
+  }
+
+  test("order audit: declared Monotonic constraint routes through Validator's sink shape") {
+    val df = Seq(
+      ("a", 1L, ts("2024-01-01 10:00:00")),
+      ("b", 2L, ts("2024-01-01 11:00:00")),
+      ("c", 3L, ts("2024-01-01 10:30:00")) // regresses behind ord 2
+    ).toDF("doc_id", "ord", "ts").withColumn("k", lit(1L))
+    val m = graft.constraint.Monotonic("ts", "ord", "k")
+    val got = graft.rel.OrderAudit.violations(df, m, "doc_id").collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("c", "monotonic_ts")))
+  }
+
+  test("order audit: plan is ONE exchange (shuffle on the key, lag window, no join)") {
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 5L)).toDF("k", "ord", "t_us")
+    val plan = planString(
+      graft.rel.OrderAudit.inversions(df, "k", col("t_us"), "ord"))
+    assert(treeCount(plan, "Exchange") == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
