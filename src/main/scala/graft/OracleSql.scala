@@ -527,6 +527,43 @@ object OracleSql {
 
     "dedup_minhash_lsh" -> DedupRecallReport,
 
+    // Bipartite ground truth for incremental screening: exact all-pairs
+    // Jaccard across (history × batch) — both LSH error directions are
+    // checked (recall via planted_missed, precision via batch_clean).
+    "lsh_screen" -> """WITH scr_hist AS (SELECT doc_id, text FROM documents),
+      |scr_batch AS (
+      |  SELECT doc_id + 100000 AS doc_id, text || ' graft extra suffix tokens' AS text
+      |    FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |         'fresh unique doc ' || CAST(doc_id AS VARCHAR) || ' payload' AS text
+      |    FROM documents WHERE doc_id % 20 = 7),
+      |scr_hs AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(ws)-2,0)), j -> ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3])) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM scr_hist)),
+      |scr_bs AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(ws)-2,0)), j -> ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3])) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM scr_batch)),
+      |scr_hn AS (SELECT doc_id, sh FROM scr_hs WHERE len(sh) > 0),
+      |scr_bn AS (SELECT doc_id, sh FROM scr_bs WHERE len(sh) > 0),
+      |scr_pairs AS (
+      |  SELECT a.doc_id AS doc_hist, b.doc_id AS doc_new
+      |  FROM scr_hn a JOIN scr_bn b
+      |    ON CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |       / nullif(len(list_distinct(a.sh || b.sh)), 0) >= 0.3)
+      |SELECT
+      |  CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0)
+      |     + (SELECT count(*) FROM documents WHERE doc_id % 20 = 7) AS BIGINT) AS batch_total,
+      |  CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS BIGINT) AS planted_total,
+      |  CAST(coalesce(sum(CASE WHEN doc_new = doc_hist + 100000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS planted_found,
+      |  CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0)
+      |     - coalesce(sum(CASE WHEN doc_new = doc_hist + 100000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS planted_missed,
+      |  CAST(coalesce(sum(CASE WHEN doc_new <> doc_hist + 100000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS organic_found,
+      |  CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0)
+      |     + (SELECT count(*) FROM documents WHERE doc_id % 20 = 7)
+      |     - coalesce(count(DISTINCT doc_new), 0) AS BIGINT) AS batch_clean
+      |FROM scr_pairs""".stripMargin,
+
     // Full SQL mirror of the simhash pipeline: polynomial word hash →
     // 63 parity votes → 4×16-bit band collision → Hamming ≤ 6. All-pairs
     // form (correctness scale); band collision is the candidate criterion,

@@ -595,6 +595,43 @@ object Queries {
     dedupRecallReport(docs(s, dir),
       Dedup.minhashLshPairs(nearDupCorpus(s, dir), "text", "doc_id", 0.3))
 
+  /** Incremental near-dup SCREENING (ingestion-time dedup): an incoming
+    * batch — 25 planted near-dups of history (doc_id%20==0 → +100000,
+    * suffix-extended) plus 25 fresh never-seen docs (doc_id%20==7 →
+    * +200000, unique synthetic text) — is screened against the existing
+    * corpus with [[Dedup.minhashLshPairsAgainst]]'s bipartite LSH join.
+    * The oracle computes the exact bipartite all-pairs Jaccard ground
+    * truth, so BOTH error directions are hash-checked: planted_missed = 0
+    * (recall — every true near-dup of history is flagged) and batch_clean
+    * (precision — no fresh doc is falsely flagged; exact verify after the
+    * band join guarantees it).
+    */
+  def lshScreen(s: SparkSession, dir: String): DataFrame = {
+    val hist = docs(s, dir).select(col("doc_id"), col("text"))
+    val planted = hist.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" graft extra suffix tokens")).as("text"))
+    val fresh = hist.filter(pmod(col("doc_id"), lit(20L)) === 7L)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("fresh unique doc "), col("doc_id"), lit(" payload")).as("text"))
+    val pairs =
+      Dedup.minhashLshPairsAgainst(hist, planted.unionByName(fresh), "text", "doc_id", 0.3)
+    val totals = hist.agg(
+      sum(when(pmod(col("doc_id"), lit(20L)) === 0L, 1L).otherwise(0L)).as("pt"),
+      sum(when(pmod(col("doc_id"), lit(20L)) === 7L, 1L).otherwise(0L)).as("ft"))
+    val found = pairs.agg(
+      sum(when(col("doc_new") === col("doc_hist") + 100000L, 1L).otherwise(0L)).as("pf"),
+      sum(when(col("doc_new") =!= col("doc_hist") + 100000L, 1L).otherwise(0L)).as("of"),
+      count_distinct(col("doc_new")).as("hit"))
+    totals.crossJoin(found).select( // 1-row × 1-row: the correct report shape
+      (col("pt") + col("ft")).as("batch_total"),
+      col("pt").as("planted_total"),
+      coalesce(col("pf"), lit(0L)).as("planted_found"),
+      (col("pt") - coalesce(col("pf"), lit(0L))).as("planted_missed"),
+      coalesce(col("of"), lit(0L)).as("organic_found"),
+      (col("pt") + col("ft") - coalesce(col("hit"), lit(0L))).as("batch_clean"))
+  }
+
   /** SimHash pairs keep their native (band-collision ∧ Hamming ≤ 6)
     * semantics; the oracle mirrors the ENTIRE simhash computation in SQL
     * (polynomial word hash — see graft.functions.SimHash63), so the found

@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_exemplars" -> (Queries.dedupExemplars _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
+    "lsh_screen" -> (Queries.lshScreen _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "dedup_embedding_capped" -> (Queries.dedupEmbeddingCapped _),

@@ -91,6 +91,27 @@ object Dedup {
       b => struct(b.as("band"),
         hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
 
+  /** (doc_id, band, bucket) rows of a shingled frame — the LSH index shape
+    * shared by the self-join (batch dedup) and bipartite (incremental
+    * screening) pipelines. In production this IS the persisted dedup index
+    * table: write it once per corpus snapshot, bucket-partitioned, and every
+    * incoming batch joins against it without re-signing history.
+    */
+  private def bucketize(t: DataFrame, numPerm: Int, bands: Int): DataFrame =
+    t.select(col("doc_id"), explode(
+        bandBuckets(minhashSignature(col("sh"), numPerm), bands, numPerm / bands)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+  // Verify on 64-bit-hashed shingle sets, not the strings: xxhash64 is
+  // injective on the ~dozens of distinct shingles per doc in practice
+  // (collision odds ~1e-13 corpus-wide), the Jaccard VALUE is identical,
+  // and long-array set intersection is several times cheaper than
+  // string-array — at a band S-curve matched to a low threshold the
+  // candidate verify dominates the whole pipeline.
+  private def hashedShingles(t: DataFrame): DataFrame =
+    t.select(col("doc_id"),
+      transform(col("sh"), x => xxhash64(x)).as("shh"), size(col("sh")).as("sz"))
+
   /** Full MinHash-LSH near-dup pipeline:
     * shingle → sign → band → bucket self-join → Jaccard verify.
     * Returns (doc_a, doc_b, jac) pairs with jac >= threshold.
@@ -102,27 +123,16 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, numPerm: Int = 32, bands: Int = 16): DataFrame = {
-    val rowsPerBand = numPerm / bands
     val t = withShingles(df, textCol, idCol).select(col("doc_id"), col("sh"))
-    val bucketed = t
-      .select(col("doc_id"), explode(
-        bandBuckets(minhashSignature(col("sh"), numPerm), bands, rowsPerBand)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val bucketed = bucketize(t, numPerm, bands)
     val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in several bands
-    // Verify on 64-bit-hashed shingle sets, not the strings: xxhash64 is
-    // injective on the ~dozens of distinct shingles per doc in practice
-    // (collision odds ~1e-13 corpus-wide), the Jaccard VALUE is identical,
-    // and long-array set intersection is several times cheaper than
-    // string-array — at a band S-curve matched to a low threshold the
-    // candidate verify dominates the whole pipeline. The size-ratio
-    // prefilter is exact: J(A,B) <= min|A|,|B| / max|A|,|B|.
-    val th = t.select(col("doc_id"),
-      transform(col("sh"), x => xxhash64(x)).as("shh"), size(col("sh")).as("sz"))
+    // The size-ratio prefilter is exact: J(A,B) <= min|A|,|B| / max|A|,|B|.
+    val th = hashedShingles(t)
     pairs
       .join(th.select(col("doc_id").as("doc_a"), col("shh").as("sha"), col("sz").as("sza")), Seq("doc_a"))
       .join(th.select(col("doc_id").as("doc_b"), col("shh").as("shb"), col("sz").as("szb")), Seq("doc_b"))
@@ -131,6 +141,45 @@ object Dedup {
       .withColumn("jac", round(jaccard(col("sha"), col("shb")), 6))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** Incremental near-dup SCREENING: which docs of an incoming `batch` are
+    * n-gram near-dups of the existing `history` corpus? The ingestion-time
+    * counterpart of [[minhashLshPairs]] — the question every continuously
+    * fed training pipeline asks per arriving batch, where re-running the
+    * full self-join over history+batch would re-shingle and re-shuffle the
+    * whole corpus for every delta.
+    *
+    * Bipartite shape: candidate generation is an inner join of the two
+    * sides' (band, bucket) tables — never history×history, so per batch the
+    * shuffle is O(batch × bands) against history's bucketed index (at scale
+    * the history side is the PERSISTED index table produced once by
+    * [[bucketize]]'s shape, and AQE broadcasts the batch side when it is
+    * small). Exact-Jaccard verification runs only on cross-side candidates.
+    * Returns (doc_hist, doc_new, jac) with jac >= threshold.
+    */
+  def minhashLshPairsAgainst(history: DataFrame, batch: DataFrame,
+                             textCol: String, idCol: String, threshold: Double,
+                             numPerm: Int = 32, bands: Int = 16): DataFrame = {
+    val ht = withShingles(history, textCol, idCol).select(col("doc_id"), col("sh"))
+    val bt = withShingles(batch, textCol, idCol).select(col("doc_id"), col("sh"))
+    val pairs = bucketize(ht, numPerm, bands)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_hist"))
+      .join(bucketize(bt, numPerm, bands)
+          .select(col("band"), col("bucket"), col("doc_id").as("doc_new")),
+        Seq("band", "bucket"))
+      .select(col("doc_hist"), col("doc_new"))
+      .dropDuplicates("doc_hist", "doc_new") // several bands may collide
+    val hh = hashedShingles(ht)
+    val bh = hashedShingles(bt)
+    pairs
+      .join(hh.select(col("doc_id").as("doc_hist"), col("shh").as("sha"), col("sz").as("sza")), Seq("doc_hist"))
+      .join(bh.select(col("doc_id").as("doc_new"), col("shh").as("shb"), col("sz").as("szb")), Seq("doc_new"))
+      .filter(least(col("sza"), col("szb")).cast("double") >=
+        lit(threshold) * greatest(col("sza"), col("szb")))
+      .withColumn("jac", round(jaccard(col("sha"), col("shb")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_hist"), col("doc_new"), col("jac"))
   }
 
   // ---------- embedding cosine ----------

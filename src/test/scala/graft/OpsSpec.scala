@@ -36,6 +36,24 @@ class OpsSpec extends SparkTestBase {
     assert(planted.subsetOf(pairs), s"missing: ${planted -- pairs}")
   }
 
+  test("bipartite LSH screen flags batch near-dups of history, not fresh docs") {
+    val hist = docs.select(col("doc_id"), col("text"))
+    val nearDups = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        concat(col("text"), lit(" tiny suffix")).as("text"))
+    val fresh = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 2000L).as("doc_id"),
+        concat(lit("totally novel payload "), col("doc_id")).as("text"))
+    val pairs = Dedup.minhashLshPairsAgainst(
+        hist, nearDups.unionByName(fresh), "text", "doc_id", 0.5)
+      .select("doc_hist", "doc_new").as[(Long, Long)].collect().toSet
+    val planted = (0L until 10L).map(i => (i, i + 1000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing: ${planted -- pairs}")
+    // no pair may name a fresh doc, and no history×history pair may appear
+    assert(pairs.forall { case (h, n) => h < 1000L && n >= 1000L && n < 2000L },
+      s"bad side assignment: ${pairs.filterNot { case (h, n) => h < 1000L && n >= 1000L && n < 2000L }}")
+  }
+
   test("shared-boilerplate prefix cannot blow up candidate generation (skew safety)") {
     // 200 docs share a 15-word header but have unique 60-word tails
     // (pairwise jaccard ~0.15 < threshold): the r1 prefix-hash blocking put
