@@ -564,6 +564,87 @@ object OracleSql {
       |     - coalesce(count(DISTINCT doc_new), 0) AS BIGINT) AS batch_clean
       |FROM scr_pairs""".stripMargin,
 
+    // Mirrors BOTH the messy-URL synthesis and the full canonical form
+    // (fragment, case, www., default port, trailing slash, tracking-param
+    // drop + param sort) — the normalization pipeline is hash-checked.
+    "url_canon" -> """WITH uh AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) || source || '.example.com' AS h
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN upper(h) ELSE h END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+      |    || '/a/' || CAST(doc_id % 10 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || '?'
+      |    || (CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&ref=' ELSE 'ref=' END)
+      |    || CAST(doc_id % 3 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM uh),
+      |n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      |p AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(nofrag, '^([^:]+://[^/?#]*)', 1)),
+      |      '://www\.', '://'), ':(443|80)$', '') AS prec,
+      |    substring(nofrag, length(regexp_extract(nofrag, '^([^:]+://[^/?#]*)', 1)) + 1) AS rest
+      |  FROM n),
+      |c AS (SELECT doc_id,
+      |    prec || regexp_replace(regexp_replace(rest, '\?.*$', ''), '/+$', '')
+      |    || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canon
+      |  FROM (SELECT doc_id, prec, rest,
+      |      array_to_string(list_sort(list_filter(
+      |        regexp_split_to_array(regexp_extract(rest, '\?([^#]*)', 1), '&'),
+      |        p2 -> p2 <> '' AND NOT regexp_matches(p2, '^(utm_[^=]*|fbclid|gclid)='))), '&') AS kept
+      |    FROM p))
+      |SELECT canon, CAST(count(*) AS BIGINT) AS cnt, CAST(min(doc_id) AS BIGINT) AS exemplar
+      |FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY canon""".stripMargin,
+
+    // Integer-only (// = DIV) so the salting plan is bit-identical.
+    "key_skew" -> """WITH k AS (
+      |  SELECT CASE WHEN event_id % 3 = 0 THEN -1 ELSE user_id END AS key FROM events),
+      |c AS (SELECT key, count(*) AS cnt FROM k GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nkeys FROM c)
+      |SELECT CAST(key AS BIGINT) AS key, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(cnt * 1000000 // total AS BIGINT) AS ppm,
+      |  CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt,
+      |  total, nkeys
+      |FROM c, t ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+
+    // Direct payload comparison (IS DISTINCT FROM) — the Spark side's
+    // xxhash64 compaction must classify identically.
+    "snapshot_diff" -> """WITH oldsnap AS (SELECT doc_id, text FROM documents),
+      |newsnap AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0),
+      |d AS (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS key,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+      |         ELSE 'unchanged' END AS change
+      |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
+      |SELECT CAST(key AS BIGINT) AS key, change FROM d
+      |WHERE change <> 'unchanged' ORDER BY key""".stripMargin,
+
+    // Re-derives the whole sliding-window plan with generate_series;
+    // chunk count = 1 + ceil((n-32)/24) for n > 32, else 1.
+    "seq_chunk" -> """WITH w AS (
+      |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, n, unnest(generate_series(0,
+      |    24 * (CASE WHEN n > 32 THEN (n - 32 + 23) // 24 ELSE 0 END), 24)) AS tok_start
+      |  FROM w WHERE n > 0)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(tok_start // 24 AS BIGINT) AS chunk_idx,
+      |  CAST(tok_start AS BIGINT) AS tok_start,
+      |  CAST(least(32, n - tok_start) AS BIGINT) AS chunk_len
+      |FROM e ORDER BY doc_id, tok_start""".stripMargin,
+
     // Full SQL mirror of the simhash pipeline: polynomial word hash →
     // 63 parity votes → 4×16-bit band collision → Hamming ≤ 6. All-pairs
     // form (correctness scale); band collision is the candidate criterion,

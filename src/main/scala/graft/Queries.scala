@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ckpt.Checkpoint
 import graft.compile.{ConstraintCompiler, Defaults}
-import graft.curate.Curation
+import graft.curate.{Curation, UrlCanon}
 import graft.constraint._
 import graft.dedup.Dedup
 import graft.drift.DriftCheck
@@ -17,8 +17,8 @@ import graft.ref.ReferentialCheck
 import graft.run.Validator
 import graft.schema._
 import graft.sim.Knn
-import graft.stats.StatsPass
-import graft.text.TextAnalysis
+import graft.stats.{SkewAudit, SnapshotDiff, StatsPass}
+import graft.text.{Chunker, TextAnalysis}
 import graft.unique.SaltedUniqueness
 
 /** The authoritative input schema (BASELINE.json:15) declared in the
@@ -631,6 +631,73 @@ object Queries {
       coalesce(col("of"), lit(0L)).as("organic_found"),
       (col("pt") + col("ft") - coalesce(col("hit"), lit(0L))).as("batch_clean"))
   }
+
+  /** Canonical-URL duplicate groups over a deterministically messy URL
+    * column (scheme/host case, www., :443, trailing slash, utm_* params,
+    * fragments — all synthesized from doc_id/source). The oracle mirrors
+    * BOTH the synthesis and the entire canonical form in SQL, so the
+    * normalization pipeline is hash-checked end to end. The canonical key
+    * makes URL dedup an exact groupBy — no similarity math.
+    */
+  def urlCanon(s: SparkSession, dir: String): DataFrame = {
+    val host = concat(
+      when(pmod(col("doc_id"), lit(4L)) === 0L, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".example.com"))
+    val url = concat(
+      when(pmod(col("doc_id"), lit(3L)) === 0L, lit("HTTPS://")).otherwise(lit("https://")),
+      when(pmod(col("doc_id"), lit(2L)) === 0L, upper(host)).otherwise(host),
+      when(pmod(col("doc_id"), lit(5L)) === 0L, lit(":443")).otherwise(lit("")),
+      lit("/a/"), pmod(col("doc_id"), lit(10L)).cast("string"),
+      when(pmod(col("doc_id"), lit(4L)) === 0L, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(pmod(col("doc_id"), lit(2L)) === 0L, lit("utm_source=feed&ref="))
+        .otherwise(lit("ref=")),
+      pmod(col("doc_id"), lit(3L)).cast("string"),
+      when(pmod(col("doc_id"), lit(6L)) === 0L, lit("#frag")).otherwise(lit("")))
+    UrlCanon.dupGroups(
+        docs(s, dir).select(col("doc_id"), url.as("url")), "url", "doc_id")
+      .orderBy(col("canon"))
+  }
+
+  /** Key-skew audit over events.user_id with a planted hot key
+    * (event_id%3==0 → key −1, ~1/3 of all rows): the report must rank the
+    * hot key first and prescribe it salt≈11 at 32 partitions while every
+    * organic key gets salt 1. Integer-only arithmetic (DIV) keeps the
+    * report bit-identical to the oracle.
+    */
+  def keySkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(
+      when(pmod(col("event_id"), lit(3L)) === 0L, lit(-1L))
+        .otherwise(col("user_id")).as("k"))
+    SkewAudit.keySkew(e, "k", topN = 10, parts = 32)
+      .orderBy(col("cnt").desc, col("key"))
+  }
+
+  /** Snapshot diff (pipeline regression check): today's snapshot is
+    * yesterday's documents with doc_id%13 rows deleted, doc_id%11 texts
+    * edited in place, and doc_id%17 rows re-added under +100000 ids. The
+    * diff must classify every key exactly; the hash-compacted join is
+    * checked against the oracle's direct payload comparison.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val old = docs(s, dir).select(col("doc_id"), col("text"))
+    val neu = old.filter(pmod(col("doc_id"), lit(13L)) =!= 0L)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11L)) === 0L, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(old.filter(pmod(col("doc_id"), lit(17L)) === 0L)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    SnapshotDiff.diff(old, neu, "doc_id", Seq("text")).orderBy(col("key"))
+  }
+
+  /** Context-window chunk plan (window 32, stride 24) over documents:
+    * every chunk start/len is integer-derived, and the oracle re-derives
+    * the full plan with generate_series — coverage (last chunk reaches
+    * token n) is hash-checked per doc.
+    */
+  def seqChunk(s: SparkSession, dir: String): DataFrame =
+    Chunker.chunkPlan(docs(s, dir), "text", "doc_id", window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("tok_start"))
 
   /** SimHash pairs keep their native (band-collision ∧ Hamming ≤ 6)
     * semantics; the oracle mirrors the ENTIRE simhash computation in SQL

@@ -70,6 +70,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "lsh_screen" -> (Queries.lshScreen _),
+    "url_canon" -> (Queries.urlCanon _),
+    "key_skew" -> (Queries.keySkewAudit _),
+    "snapshot_diff" -> (Queries.snapshotDiff _),
+    "seq_chunk" -> (Queries.seqChunk _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "dedup_embedding_capped" -> (Queries.dedupEmbeddingCapped _),

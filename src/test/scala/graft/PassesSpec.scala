@@ -5,7 +5,7 @@ import graft.unique.SaltedUniqueness
 import graft.ref.ReferentialCheck
 import graft.drift.DriftCheck
 import graft.ckpt.Checkpoint
-import graft.stats.HistogramSketch
+import graft.stats.{HistogramSketch, SkewAudit}
 
 /** Table-level passes: uniqueness under skew, referential, drift,
   * checkpoint resume, histogram sketch merge.
@@ -13,6 +13,26 @@ import graft.stats.HistogramSketch
 class PassesSpec extends SparkTestBase {
 
   import spark.implicits._
+
+  test("key-skew audit ranks the hot key first and sizes its salt to the partition math") {
+    // 9000 rows of key "hot", 100 distinct cold keys × 10 rows: total 10000
+    val df = spark.range(0L, 9000L, 1L, 8).select(lit("hot").as("k"))
+      .unionByName(spark.range(0L, 1000L, 1L, 8)
+        .select(concat(lit("c"), pmod(col("id"), lit(100L))).as("k")))
+    val rows = SkewAudit.keySkew(df, "k", topN = 3, parts = 32)
+      .orderBy(col("cnt").desc, col("key")).collect()
+    assert(rows.length === 3)
+    val head = rows.head
+    assert(head.getString(0) === "hot" && head.getLong(1) === 9000L)
+    assert(head.getAs[Long]("ppm") === 900000L)
+    // ceil(9000*32/10000) = ceil(28.8) = 29 salt buckets for the hot key
+    assert(head.getAs[Long]("salt") === 29L)
+    assert(head.getAs[Long]("total") === 10000L && head.getAs[Long]("nkeys") === 101L)
+    // every cold key: 10 rows -> salt 1
+    rows.tail.foreach { r =>
+      assert(r.getLong(1) === 10L && r.getAs[Long]("salt") === 1L)
+    }
+  }
 
   test("salted uniqueness == naive groupBy under adversarial skew (hot key 10^4)") {
     val hot = spark.range(0L, 10000L, 1L, 8).select(lit("HOT").as("k"))
