@@ -645,6 +645,20 @@ object OracleSql {
       |  CAST(least(32, n - tok_start) AS BIGINT) AS chunk_len
       |FROM e ORDER BY doc_id, tok_start""".stripMargin,
 
+    // Mirrors the normal form exactly; DuckDB regexp_replace needs the
+    // explicit 'g' flag (Spark replaces all matches by default).
+    "dedup_norm" -> """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, upper(text) || ' !!' AS text
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |n AS (SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+      |  FROM corpus)
+      |SELECT md5(norm) AS h, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(min(doc_id) AS BIGINT) AS exemplar
+      |FROM n GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
     // Full SQL mirror of the simhash pipeline: polynomial word hash →
     // 63 parity votes → 4×16-bit band collision → Hamming ≤ 6. All-pairs
     // form (correctness scale); band collision is the candidate criterion,

@@ -699,6 +699,20 @@ object Queries {
     Chunker.chunkPlan(docs(s, dir), "text", "doc_id", window = 32, stride = 24)
       .orderBy(col("doc_id"), col("tok_start"))
 
+  /** Fuzzy-exact dedup: planted re-encoded copies (uppercased, punctuation
+    * appended) must collapse to their originals' normal form; the oracle
+    * mirrors the normalization (lower → strip non-alnum → collapse
+    * whitespace → trim) character for character.
+    */
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+    Dedup.exactNormalized(corpus, "text", "doc_id").orderBy(col("h"))
+  }
+
   /** SimHash pairs keep their native (band-collision ∧ Hamming ≤ 6)
     * semantics; the oracle mirrors the ENTIRE simhash computation in SQL
     * (polynomial word hash — see graft.functions.SimHash63), so the found

@@ -74,6 +74,7 @@ object SparkEntry {
     "key_skew" -> (Queries.keySkewAudit _),
     "snapshot_diff" -> (Queries.snapshotDiff _),
     "seq_chunk" -> (Queries.seqChunk _),
+    "dedup_norm" -> (Queries.dedupNormalized _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "dedup_embedding_capped" -> (Queries.dedupEmbeddingCapped _),

@@ -29,6 +29,21 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("exemplar"))
       .filter(col("cnt") > 1)
 
+  /** Case/punctuation/whitespace-insensitive normal form for "fuzzy-exact"
+    * dedup: lowercase, strip non-alphanumerics, collapse whitespace runs,
+    * trim. Catches the re-encoded/re-punctuated copies exact dedup misses
+    * while staying a pure codegen'd projection (no similarity math) —
+    * dedup is still ONE groupBy on a 16-byte md5 of the normal form.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Exact-duplicate groups on the normalized text. */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exact(df.select(col(idCol), normalizedText(col(textCol)).as("__norm")),
+      "__norm", idCol)
+
   // ---------- shingles + Jaccard ----------
 
   /** Distinct word 3-gram shingles — single custom expression

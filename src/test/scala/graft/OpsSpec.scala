@@ -36,6 +36,19 @@ class OpsSpec extends SparkTestBase {
     assert(planted.subsetOf(pairs), s"missing: ${planted -- pairs}")
   }
 
+  test("normalized dedup collapses case/punctuation/whitespace variants, keeps distinct texts apart") {
+    val variants = Seq(
+      (1L, "Hello,  World! This is FINE."),
+      (2L, "hello world this is fine"),
+      (3L, "HELLO WORLD — this is fine!!"),
+      (4L, "hello world this is not fine"))
+    val groups = Dedup.exactNormalized(variants.toDF("doc_id", "text"), "text", "doc_id")
+      .collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("cnt") === 3L)
+    assert(groups.head.getAs[Long]("exemplar") === 1L)
+  }
+
   test("bipartite LSH screen flags batch near-dups of history, not fresh docs") {
     val hist = docs.select(col("doc_id"), col("text"))
     val nearDups = docs.filter(col("doc_id") < 10)
