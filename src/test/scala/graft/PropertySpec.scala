@@ -98,4 +98,69 @@ class PropertySpec extends SparkTestBase {
     val shuffled = new scala.util.Random(5).shuffle(ns)
     assert(stats(ns, 13) === stats(shuffled, 3))
   }
+
+  test("URL canonicalization is idempotent and variant-invariant over generated URLs") {
+    // structured URL generator: every messy degree of freedom the
+    // canonicalizer claims to erase, composed randomly (hosts avoid a
+    // literal 'www' label — stripping ONE leading www is by design)
+    val urlGen: Gen[(String, String)] = for {
+      scheme <- Gen.oneOf("http", "https")
+      schemeCase <- Gen.oneOf(true, false)
+      www <- Gen.oneOf("", "www.")
+      label <- Gen.oneOf("alpha", "beta", "cdn7", "site")
+      hostCase <- Gen.oneOf(true, false)
+      port <- Gen.oneOf("", if (scheme == "https") ":443" else ":80")
+      path <- Gen.listOf(Gen.oneOf("a", "B", "c9")).map(_.take(3))
+      slash <- Gen.oneOf("", "/")
+      keep <- Gen.someOf(Seq("ref=1", "b=2", "Z=3"))
+      track <- Gen.someOf(Seq("utm_source=x", "utm_c=y", "fbclid=f", "gclid=g"))
+      frag <- Gen.oneOf("", "#frag")
+    } yield {
+      val host = s"$www$label.example.com"
+      val q = new scala.util.Random(keep.size * 7 + track.size).shuffle((keep ++ track).toList)
+      val url = (if (schemeCase) scheme.toUpperCase else scheme) + "://" +
+        (if (hostCase) host.toUpperCase else host) + port +
+        (if (path.isEmpty) "" else path.mkString("/", "/", "")) + slash +
+        (if (q.isEmpty) "" else q.mkString("?", "&", "")) + frag
+      // the canonical form this should collapse to
+      val canon = s"$scheme://$label.example.com" +
+        (if (path.isEmpty) "" else path.mkString("/", "/", "")) +
+        (if (keep.isEmpty) "" else keep.sorted.mkString("?", "&", ""))
+      (url, canon)
+    }
+    val cases = sample(Gen.listOfN(120, urlGen), 1234L)
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"),
+        graft.curate.UrlCanon.canonicalize(col("url")).as("c1"))
+      .select(col("url"), col("c1"),
+        graft.curate.UrlCanon.canonicalize(col("c1")).as("c2"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    cases.foreach { case (url, want) =>
+      val (c1, c2) = got(url)
+      assert(c1 === want, s"canon($url)")
+      assert(c2 === c1, s"not idempotent: $url -> $c1 -> $c2")
+    }
+  }
+
+  test("chunk plan: coverage, overlap, and count laws over random lengths") {
+    val ns = sample(Gen.listOfN(150, Gen.choose(1, 500)), 777L)
+    val docs = ns.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(t => s"w$t").mkString(" "))
+    }
+    val plan = graft.text.Chunker.chunkPlan(
+        docs.toDF("doc_id", "text"), "text", "doc_id", 32, 24)
+      .collect().groupBy(_.getLong(0))
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ").length.toLong
+      val rows = plan(id).sortBy(_.getAs[Long]("tok_start"))
+      val wantCount = if (n <= 32) 1L else 1L + (n - 32 + 23) / 24
+      assert(rows.length.toLong === wantCount, s"doc $id n=$n")
+      val last = rows.last
+      assert(last.getAs[Long]("tok_start") + last.getAs[Long]("chunk_len") === n)
+      rows.foreach { r =>
+        val len = r.getAs[Long]("chunk_len")
+        assert(len > 0 && len <= 32)
+      }
+    }
+  }
 }
