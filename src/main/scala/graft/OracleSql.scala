@@ -999,6 +999,37 @@ object OracleSql {
       |       doc_id = group_id AS keep
       |FROM grp ORDER BY group_id, doc_id""".stripMargin,
 
+    // Leakage-safe split: reachability groups (as in dedup_groups) LEFT-
+    // joined onto the whole corpus (singletons default group_id = doc_id),
+    // then the same modular sampling hash as sample_stratified picks the
+    // split from the GROUP id — recomputed end to end, so a doc split by
+    // its own id instead of its group's would hash-mismatch.
+    "split_safe" -> s"""WITH RECURSIVE $NearDupPairs,
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM nd_pairs
+      |  UNION
+      |  SELECT doc_b AS s, doc_a AS d FROM nd_pairs),
+      |reach(s, d) AS (
+      |  SELECT s, d FROM edges
+      |  UNION
+      |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+      |grp AS (
+      |  SELECT s AS doc_id, least(s, min(d)) AS group_id
+      |  FROM reach GROUP BY s),
+      |asg AS (
+      |  SELECT c.doc_id, COALESCE(g.group_id, c.doc_id) AS group_id
+      |  FROM nd_corpus c LEFT JOIN grp g ON c.doc_id = g.doc_id),
+      |b AS (
+      |  SELECT doc_id, group_id,
+      |    ((group_id % 1000003) * 2654435761 + 12345) % 1000 AS bkt
+      |  FROM asg)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(group_id AS BIGINT) AS group_id,
+      |       CASE WHEN bkt < 800 THEN 'train'
+      |            WHEN bkt < 900 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin,
+
     // Quality-aware canonical election: reachability groups (as in
     // dedup_groups) joined to the text_quality formula over nd_corpus;
     // winner = (quality DESC, words DESC, doc_id) row_number 1
@@ -1134,6 +1165,24 @@ object OracleSql {
       |FROM p ORDER BY source, shard, doc_id""".stripMargin,
 
     "decontaminate" -> """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(ws) - 2, 0)),
+      |    j -> ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3])) AS sh
+      |  FROM w),
+      |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT tr.doc_id, COUNT(*) AS hit_ngrams
+      |FROM tr JOIN ev USING (g)
+      |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // Same expected RESULT as decontaminate: the Bloom prefilter has
+    // one-sided error and the exact verify join removes false positives,
+    // so the oracle IS the exact-set semantics — a hash mismatch here
+    // would mean the screen dropped a true hit (impossible for a correct
+    // Bloom) or the verify let a false positive through.
+    "decontam_bloom" -> """WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(

@@ -858,6 +858,36 @@ object Queries {
       .orderBy(col("group_id"))
   }
 
+  /** Leakage-safe train/val/test split: the split decision is made per
+    * DUPLICATE GROUP, not per document, so near-duplicate copies of the
+    * same text can never straddle train and eval — the leakage mode a
+    * naive per-doc hash split has (the eval side silently contains
+    * paraphrases of training docs; measured benchmark inflation). Docs in
+    * no dup group anchor their own singleton group (group_id = doc_id);
+    * the group anchor's deterministic sampling hash picks 80/10/10.
+    *
+    * Scale shape: the group table is anomaly-sized (dup-pair members
+    * only), so the corpus picks up its group id via a broadcast LEFT join
+    * — the corpus itself never shuffles — and the split is a per-row
+    * projection. The oracle recomputes the transitive groups via a
+    * recursive CTE over all-pairs exact ground truth AND the modular
+    * split hash, so group recall, singleton defaulting, and the split
+    * decision are all hash-checked.
+    */
+  def splitSafe(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val groups = Dedup.duplicateGroups(
+      Dedup.minhashLshPairs(corpus, "text", "doc_id", 0.3), "doc_a", "doc_b")
+      .select(col("doc_id"), col("group_id"))
+    val b = Curation.sampleBucket(col("group_id"))
+    corpus.select(col("doc_id"))
+      .join(broadcast(groups), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .withColumn("split",
+        when(b < 800, lit("train")).when(b < 900, lit("val")).otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+  }
+
   /** CUBE over order dimensions (grouping-sets breadth — SURVEY §2.2
     * grouping row; partition_summary covers ROLLUP): all four grouping-set
     * combinations with grouping flags disambiguating aggregate NULLs.
@@ -1123,6 +1153,22 @@ object Queries {
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Curation.contaminationHits(
+      d.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+      d.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+      "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bloom-screened decontamination: identical split and identical RESULT
+    * as `decontaminate` (so it shares that oracle's SQL — the hash-green
+    * row certifies that the Bloom prefilter + exact verify path loses
+    * nothing), but the train side probes a broadcast Bloom filter before
+    * any join — the scale mode for eval suites too big to broadcast
+    * exactly (Curation.contaminationHitsBloom scaladoc).
+    */
+  def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.contaminationHitsBloom(
       d.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
       d.filter(pmod(col("doc_id"), lit(97L)) === 0L),
       "text", "doc_id")

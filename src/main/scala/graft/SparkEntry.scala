@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_lines" -> (Queries.dedupLines _),
     "dedup_groups" -> (Queries.dedupGroups _),
     "dedup_keep_best" -> (Queries.dedupKeepBest _),
+    "split_safe" -> (Queries.splitSafe _),
     "sim_topk" -> (Queries.simTopK _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "tok_topfreq" -> (Queries.tokTopFreq _),
     "lm_oov" -> (Queries.lmOov _),
     "decontaminate" -> (Queries.decontaminate _),
+    "decontam_bloom" -> (Queries.decontamBloom _),
     "doc_repetition" -> (Queries.docRepetition _),
     "curation_gate" -> (Queries.curationGate _),
     "text_redact" -> (Queries.textRedact _),

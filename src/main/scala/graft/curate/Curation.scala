@@ -105,6 +105,51 @@ object Curation {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("hit_ngrams"))
   }
 
+  /** Bloom-screened decontamination — same RESULT as [[contaminationHits]]
+    * (the exact verify makes the Bloom's false positives invisible), built
+    * for the regime where the eval n-gram set outgrows an exact broadcast
+    * hash table. A multi-benchmark eval suite can reach 10^8–10^9 distinct
+    * n-grams: as raw strings that is tens of GB — unbroadcastable — and
+    * the exact path degrades to shuffling EVERY train gram (corpus-sized,
+    * ~10^12 rows) against it. Here:
+    *
+    *  1. eval grams → `stat.bloomFilter` over xxhash64(gram): a
+    *     distributive per-partition build; the driver sees only the
+    *     fixed-size bit array (~1.2 GB at 10^9 items / 1% fpp, vs tens of
+    *     GB for the exact set — and probes cost O(1) bit tests, not a
+    *     string hash-map lookup);
+    *  2. train grams probe the broadcast bits IN the scan projection — a
+    *     per-row filter, no join, no shuffle; survivors are true hits
+    *     plus the fpp sliver of the corpus;
+    *  3. the exact verify join runs on survivors only. The hint-free join
+    *     lets AQE pick: broadcast when eval fits (tests), shuffle of the
+    *     ~1000×-reduced survivor set when it doesn't (production).
+    *
+    * The screen probes HASHED grams (`mightContainLong`) so eval gram
+    * strings are hashed exactly once at build time and train grams once
+    * per probe — no UTF-8 re-encoding per probe. `expectedItems` sizes the
+    * filter from one cheap count over the (small) eval side; fpp only
+    * affects survivor volume, never the result.
+    */
+  def contaminationHitsBloom(train: DataFrame, evalSet: DataFrame,
+                             textCol: String, idCol: String, n: Int = 3,
+                             fpp: Double = 0.01): DataFrame = {
+    import graft.functions.hashExprs.{bloom_might_contain, word_shingles}
+    import graft.text.TextAnalysis.words
+    val evalGrams = evalSet
+      .select(explode(word_shingles(words(col(textCol)), n)).as("g")).distinct()
+    val hashed = evalGrams.select(xxhash64(col("g")).as("h"))
+    val expectedItems = math.max(hashed.count(), 1L)
+    val bloom = hashed.stat.bloomFilter("h", expectedItems, fpp)
+    val bcast = train.sparkSession.sparkContext.broadcast(bloom)
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(word_shingles(words(col(textCol)), n)).as("g"))
+      .where(bloom_might_contain(xxhash64(col("g")), bcast))
+      .join(evalGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hit_ngrams"))
+  }
+
   /** Per-document repetition scoring (the Gopher-style quality gate):
     * fraction of duplicate word 2-grams and 3-grams — 1 − distinct/total —
     * plus a repetitive flag at the classic 0.2 / 0.18 thresholds. Pure

@@ -302,6 +302,31 @@ final case class CentroidNearest(child: Expression,
     copy(child = newChild)
 }
 
+/** Membership probe against a broadcast Bloom filter (built with Spark's
+  * own `DataFrameStatFunctions.bloomFilter`, i.e. `org.apache.spark.util
+  * .sketch.BloomFilter` — per-partition filters merged distributively;
+  * only the fixed-size bit array ever reaches the driver). Holding the
+  * `Broadcast` handle rather than the raw bytes means executors fetch the
+  * bits once via the block manager instead of once per task through the
+  * serialized expression tree. One-sided error by construction: `false`
+  * is definite absence, `true` needs an exact verify — callers use this
+  * as a PREFILTER, never as the final answer. CodegenFallback: the probe
+  * is two hashes + k bit tests per row, dwarfing the fallback dispatch.
+  */
+final case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.value.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object hashExprs {
   import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
 
@@ -320,4 +345,8 @@ object hashExprs {
   def centroid_nearest(embedding: Column, cents: Seq[(Long, Seq[Double])],
                        nprobe: Int): Column =
     toCol(CentroidNearest(toExpr(embedding), cents, nprobe))
+
+  def bloom_might_contain(hashed: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    toCol(BloomMightContain(toExpr(hashed), bloom))
 }

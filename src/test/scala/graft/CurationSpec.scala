@@ -156,6 +156,57 @@ class CurationSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("contaminationHitsBloom ≡ contaminationHits on the real corpus (exact verify absorbs fpp)") {
+    val d = docs
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val eval = d.filter(col("doc_id") % 97 === 0)
+    val exact = Curation.contaminationHits(train, eval, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a deliberately terrible fpp (0.5) floods the verify join with false
+    // positives — the result must STILL be exactly the exact-set answer
+    val screened = Curation.contaminationHitsBloom(train, eval, "text", "doc_id",
+        fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must plant contamination")
+    assert(screened === exact)
+  }
+
+  test("bloom_might_contain is one-sided: every inserted key probes true") {
+    import graft.functions.hashExprs.bloom_might_contain
+    val keys = (1L to 500L).map(_ * 2654435761L)
+    val df = keys.toDF("h")
+    val bloom = df.stat.bloomFilter("h", keys.length.toLong, 0.03)
+    val bcast = spark.sparkContext.broadcast(bloom)
+    // no false negatives ever (the screen may not drop a true hit) …
+    val misses = df.filter(!bloom_might_contain(col("h"), bcast)).count()
+    assert(misses === 0L)
+    // … and the filter is informative: most absent keys probe false
+    val absent = (1L to 500L).map(k => k * 2654435761L + 1L).toDF("h")
+    val fp = absent.filter(bloom_might_contain(col("h"), bcast)).count()
+    assert(fp < 100L, s"false-positive count $fp way above the 3% design point")
+  }
+
+  test("split_safe: no dup group straddles splits; planted near-dups follow their original") {
+    val rows = Queries.splitSafe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // (1) leakage safety: every group maps to exactly one split
+    val perGroup = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    perGroup.foreach { case (g, splits) =>
+      assert(splits.size === 1, s"group $g straddles splits: $splits")
+    }
+    // (2) the planted near-dup (id + 100000) always lands with its original
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    val planted = rows.filter(_._1 >= 100000L)
+    assert(planted.nonEmpty, "fixture must plant near-dups")
+    planted.foreach { case (id, _, sp) =>
+      assert(byId(id - 100000L) === sp, s"planted $id split from its original")
+    }
+    // (3) the 80/10/10 hash actually spreads mass across all three splits
+    val counts = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(counts.keySet === Set("train", "val", "test"), counts.toString)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
   test("repetitionScores: hand-checked duplicate-n-gram fractions and flag") {
     val df = Seq(
       (1L, "a b a b a"),   // g2: [a b, b a, a b, b a] → dup2 = 1 - 2/4 = 0.5
