@@ -159,6 +159,17 @@ object OracleSql {
       |WHERE source NOT IN (SELECT DISTINCT source FROM documents)
       |ORDER BY doc_id""".stripMargin,
 
+    // FD audit doc_id → source: keys with >1 distinct dependent. NULL
+    // determinants form one group in both engines; NULLS FIRST matches
+    // Spark's asc_nulls_first.
+    "fd_audit" -> s"""WITH $Dirty
+      |SELECT doc_id,
+      |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_variants,
+      |       min(source) AS dep_min, max(source) AS dep_max
+      |FROM dirty
+      |GROUP BY doc_id HAVING COUNT(DISTINCT source) > 1
+      |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
     "token_equality" -> s"""WITH $DirtyAndSeqs
       |SELECT d.doc_id,
       |       CASE WHEN r.doc_id IS NULL THEN 'missing_in_ref'
@@ -834,6 +845,37 @@ object OracleSql {
     // (floor(v·10^6) sums — exact integers, so the reduction order can't
     // matter in either engine), pass 2 reassigns against those means and
     // emits its sums. Multiple unnests in one SELECT zip positionally.
+    // Int8 quantization: the fit (per-dim min/max) and the apply replay
+    // the Spark side's exact double-op order — subtract, multiply by the
+    // PRE-DIVIDED scale 255/(mx−mn), +0.5, floor — so the integers match
+    // bit-for-bit (each IEEE op is correctly rounded; mul-then-div would
+    // round differently). Explicit DOUBLE casts: DuckDB keeps FLOAT
+    // arithmetic in single precision, Spark promotes to double.
+    "emb_quantize" -> """WITH v0 AS (
+      |  SELECT vec_id, len(embedding) AS n,
+      |         unnest(range(len(embedding))) AS i, embedding
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, n, i, CAST(embedding[i+1] AS DOUBLE) AS v FROM v0),
+      |p AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
+      |s AS (SELECT i, mn,
+      |        CASE WHEN mx = mn THEN 0.0 ELSE 255.0 / (mx - mn) END AS sc
+      |      FROM p),
+      |q0 AS (
+      |  SELECT vec_id, n, x.i,
+      |         CAST(floor((v - mn) * sc + 0.5) AS BIGINT) AS qr
+      |  FROM x JOIN s ON x.i = s.i),
+      |q AS (
+      |  SELECT vec_id, n, i,
+      |         CASE WHEN qr < 0 THEN 0 WHEN qr > 255 THEN 255 ELSE qr END AS q
+      |  FROM q0)
+      |SELECT vec_id,
+      |  CAST(SUM(q) AS BIGINT) AS q_sum,
+      |  CAST(MAX(CASE WHEN i = 0 THEN q END) AS BIGINT) AS q_first,
+      |  CAST(MAX(CASE WHEN i = n - 1 THEN q END) AS BIGINT) AS q_last,
+      |  CAST(SUM(CASE WHEN q = 0 OR q = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "ivf_fit" -> s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
       |initk AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
       |          FROM e ORDER BY vec_id LIMIT 4),

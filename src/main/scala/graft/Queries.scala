@@ -16,8 +16,8 @@ import graft.multimodal.MediaPipeline
 import graft.ref.ReferentialCheck
 import graft.run.Validator
 import graft.schema._
-import graft.sim.Knn
-import graft.stats.{SkewAudit, SnapshotDiff, StatsPass}
+import graft.sim.{Knn, Quantize}
+import graft.stats.{FdAudit, SkewAudit, SnapshotDiff, StatsPass}
 import graft.text.{Chunker, TextAnalysis}
 import graft.unique.SaltedUniqueness
 
@@ -134,6 +134,17 @@ object Queries {
     */
   def uniqueDups(s: SparkSession, dir: String): DataFrame =
     SaltedUniqueness.duplicatesHashCompacted(dirty(s, dir), "doc_id").orderBy(col("doc_id"))
+
+  /** Functional-dependency audit over the planted table: doc_id → source
+    * (stats.FdAudit). The three planted violators are exactly the keys
+    * whose copies carry CONFLICTING payloads: the two dup-key classes
+    * (each 10 docs with ~10 different sources under one id) and the NULL
+    * id class — corruption uniqueness alone misdiagnoses as mere
+    * duplication.
+    */
+  def fdAudit(s: SparkSession, dir: String): DataFrame =
+    FdAudit.violations(dirty(s, dir), "doc_id", "source")
+      .orderBy(col("doc_id").asc_nulls_first)
 
   /** Broadcast anti-join referential check (T7). */
   def refViolations(s: SparkSession, dir: String): DataFrame =
@@ -1145,6 +1156,20 @@ object Queries {
       .select(col("cid").cast("long").as("cid"), col("pos").cast("long").as("pos"),
         col("qsum").cast("long").as("qsum"), col("cnt").cast("long").as("cnt"))
       .orderBy(col("cid"), col("pos"))
+
+  /** Int8 embedding quantization (sim.Quantize): one-pass per-dimension
+    * min/max fit (64-key aggregate, dim-bounded collect — the IVF-codebook
+    * pattern) + a shuffle-free QuantizeInt8 projection. The report ships
+    * integer-exact checksums (sum/first/last/saturation) instead of the
+    * arrays; the oracle replays the fit AND the exact op order of the
+    * quantization formula, so the whole pipeline is hash-checked.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val (mins, scales) = Quantize.fitMinMax(e, "embedding")
+    Quantize.report(e, "embedding", "vec_id", mins, scales)
+      .orderBy(col("vec_id"))
+  }
 
   /** Benchmark decontamination over documents: the held-out "eval set" is
     * every 97th doc; the report lists training docs sharing any 3-gram

@@ -30,6 +30,7 @@ object SparkEntry {
     "doc_violations" -> (Queries.docViolations _),
     "unique_dups" -> (Queries.uniqueDups _),
     "ref_violations" -> (Queries.refViolations _),
+    "fd_audit" -> (Queries.fdAudit _),
     "token_equality" -> (Queries.tokenEquality _),
     "col_stats" -> (Queries.colStats _),
     "col_stats_sketch" -> (Queries.colStatsSketch _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
     "ivf_fit" -> (Queries.ivfFit _),
+    "emb_quantize" -> (Queries.embQuantize _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "mix_sample" -> (Queries.mixSample _),
     "sample_cap_per_key" -> (Queries.sampleCapPerKey _),

@@ -302,6 +302,47 @@ final case class CentroidNearest(child: Expression,
     copy(child = newChild)
 }
 
+/** Int8 scalar quantization of a float embedding against per-dimension
+  * (min, scale) parameters computed offline (one corpus pass — see
+  * graft.sim.Quantize): q_i = clamp(floor((v_i − min_i) · scale_i + 0.5),
+  * 0, 255) with scale_i = 255/(max_i − min_i) PRE-DIVIDED — the oracle
+  * mirrors the exact op sequence (subtract, multiply by the pre-divided
+  * scale, +0.5, floor), and since each IEEE double op is correctly
+  * rounded, identical op order ⇒ identical bits ⇒ hash-green integers.
+  * Same literal-params pattern as [[CentroidNearest]]: the params ride
+  * the expression tree (dim-bounded, ~64 doubles), so the corpus side
+  * stays a shuffle-free projection at any scale. A lambda formulation
+  * (`transform` + element_at against array literals) evaluates an
+  * interpreted expression tree per dimension — the measured HOF cliff
+  * this family of expressions exists to avoid.
+  */
+final case class QuantizeInt8(child: Expression, mins: Seq[Double],
+    scales: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "quantize_int8"
+
+  private val mn = mins.toArray
+  private val sc = scales.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), mn.length)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val q = math.floor((arr.getFloat(i).toDouble - mn(i)) * sc(i) + 0.5)
+      out(i) = if (q < 0.0) 0 else if (q > 255.0) 255 else q.toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Membership probe against a broadcast Bloom filter (built with Spark's
   * own `DataFrameStatFunctions.bloomFilter`, i.e. `org.apache.spark.util
   * .sketch.BloomFilter` — per-partition filters merged distributively;
@@ -349,4 +390,8 @@ object hashExprs {
   def bloom_might_contain(hashed: Column,
       bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
     toCol(BloomMightContain(toExpr(hashed), bloom))
+
+  def quantize_int8(embedding: Column, mins: Seq[Double],
+                    scales: Seq[Double]): Column =
+    toCol(QuantizeInt8(toExpr(embedding), mins, scales))
 }

@@ -90,6 +90,54 @@ object Renders {
     s"""CREATE TABLE ${s.name.toLowerCase} (\n${cols.mkString(",\n")}\n);"""
   }
 
+  // ---------- Spark SQL / Iceberg DDL ----------
+
+  private def sparkType(ft: FType): String = ft match {
+    case TextT     => "STRING"
+    case BytesT    => "BINARY"
+    case IntT(2)   => "SMALLINT"
+    case IntT(4)   => "INT"
+    case IntT(_)   => "BIGINT"
+    case FloatT(4) => "FLOAT"
+    case FloatT(_) => "DOUBLE"
+    case BoolT     => "BOOLEAN"
+    case EnumT(_)  => "STRING"
+    case DateT     => "DATE"
+    case DateTimeT => "TIMESTAMP"
+    case lt: ListT => s"ARRAY<${sparkType(lt.elem)}>"
+    case mt: MapT  => s"MAP<STRING, ${sparkType(mt.value)}>"
+    case sr: SubRecordT =>
+      sr.schema.fields.map(f => s"${f.name}: ${sparkType(f.ftype)}")
+        .mkString("STRUCT<", ", ", ">")
+  }
+
+  /** Iceberg table DDL for the declared schema — the lakehouse layout the
+    * north rule targets (BASELINE.json: "Iceberg table of pre-tokenized
+    * training sequences"). `partitionedBy` takes Iceberg partition
+    * TRANSFORMS verbatim (`bucket(128, doc_id)`, `days(ts)`, a plain
+    * column name): bucketing the id key is what makes the uniqueness
+    * check's shuffle co-located and the metadata-driven partition pruning
+    * of the resume path possible. format-version 2 for row-level deletes
+    * (the CDC MERGE path, rel/MergeInto); required fields render NOT NULL
+    * so the table enforces the cheapest constraint class at write time —
+    * the validator still audits it (belt and braces: a reader can't trust
+    * every historical writer honored the DDL).
+    */
+  def icebergDdl(s: RecordSchema, partitionedBy: Seq[String] = Nil): String = {
+    val cols = s.fields.map { f =>
+      val nn = if (f.required) " NOT NULL" else ""
+      s"  ${f.name} ${sparkType(f.ftype)}$nn"
+    }
+    val part =
+      if (partitionedBy.isEmpty) ""
+      else partitionedBy.mkString("\nPARTITIONED BY (", ", ", ")")
+    s"""CREATE TABLE ${s.name.toLowerCase} (
+       |${cols.mkString(",\n")}
+       |)
+       |USING iceberg$part
+       |TBLPROPERTIES ('format-version' = '2')""".stripMargin
+  }
+
   // ---------- inverse: StructType → RecordSchema ----------
 
   /** Engine analogue of avro_to_pyschema (R18): infer a RecordSchema from

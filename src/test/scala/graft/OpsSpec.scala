@@ -293,6 +293,64 @@ class OpsSpec extends SparkTestBase {
     assert(ann.subsetOf(brute))
   }
 
+  test("int8 quantization: reconstruction error bounded by half a step per dim; params exact") {
+    import graft.sim.Quantize
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (mins, scales) = Quantize.fitMinMax(e, "embedding")
+    assert(mins.length === 64 && scales.length === 64)
+    // dequantize and compare: |v − (q/scale + min)| ≤ (1/scale)/2 + eps
+    import graft.functions.hashExprs.quantize_int8
+    val rows = e.select(col("embedding"),
+        quantize_int8(col("embedding"), mins, scales).as("q"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val q = r.getSeq[Int](1)
+      assert(q.length === v.length)
+      v.indices.foreach { i =>
+        assert(q(i) >= 0 && q(i) <= 255)
+        if (scales(i) > 0) {
+          val step = 1.0 / scales(i)
+          val back = q(i) * step + mins(i)
+          assert(math.abs(v(i) - back) <= step / 2 + 1e-9,
+            s"dim $i: v=${v(i)} q=${q(i)} back=$back step=$step")
+        }
+      }
+    }
+  }
+
+  test("QuantizeInt8 matches the interpreted HOF formulation bit-for-bit") {
+    import graft.functions.hashExprs.quantize_int8
+    import graft.sim.Quantize
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (mins, scales) = Quantize.fitMinMax(e, "embedding")
+    val minsLit = typedLit(mins)
+    val scalesLit = typedLit(scales)
+    // HOF twin: same subtract → multiply → +0.5 → floor → clamp sequence
+    val hof = transform(col("embedding"), (v, i) =>
+      greatest(lit(0), least(lit(255),
+        floor((v.cast("double") - element_at(minsLit, (i + 1).cast("int"))) *
+          element_at(scalesLit, (i + 1).cast("int")) + 0.5).cast("int"))))
+    val diff = e.select(
+        quantize_int8(col("embedding"), mins, scales).as("a"), hof.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0L)
+  }
+
+  test("fd_audit: conflicting payloads under one key reported; agreeing dups are not") {
+    import graft.stats.FdAudit
+    val df = Seq(
+      ("k1", "a"), ("k1", "a"),          // dup key, AGREEING payload → clean
+      ("k2", "a"), ("k2", "b"), ("k2", "c"), // conflict: 3 variants
+      ("k3", "x")                        // singleton → clean
+    ).toDF("k", "v")
+    val got = FdAudit.violations(df, "k", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq === Seq(("k2", 3L, "a", "c")))
+  }
+
   test("multimodal: mapPartitions stub decode agrees with the column twin") {
     val viaBatch = MediaPipeline.decodeMeta(MediaPipeline.fromDocuments(docs))
       .select(col("media_id").as("doc_id"), col("n_bytes"), col("width"),

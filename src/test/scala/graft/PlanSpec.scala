@@ -144,6 +144,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("bloom-screened decontamination: the probe filters BEFORE any join or exchange") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.curate.Curation.contaminationHitsBloom(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+      "text", "doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe is a Filter expression (no join node), and it must sit
+    // below the exact-verify join: everything the join sees is screened
+    val probeAt = plan.indexOf("bloom_might_contain")
+    val joinAt = plan.indexOf("Join")
+    assert(probeAt >= 0, plan.take(800))
+    assert(joinAt >= 0 && joinAt < probeAt,
+      s"probe must be deeper in the tree (below the join):\n${plan.take(1200)}")
+  }
+
+  test("split_safe: the corpus side takes its group id via broadcast, never a shuffle") {
+    val plan = Queries.splitSafe(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("bucketed co-located join runs with ZERO exchange under the join") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     val lt = graft.io.Bucketed.table(

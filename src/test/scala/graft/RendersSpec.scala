@@ -43,6 +43,24 @@ class RendersSpec extends SparkTestBase {
     assert(ddl.contains("attrs jsonb"))
   }
 
+  test("Iceberg DDL render: type mapping, NOT NULL, partition transforms, v2") {
+    val ddl = Renders.icebergDdl(rec, Seq("bucket(128, id)", "kind"))
+    assert(ddl.contains("id BIGINT NOT NULL"))
+    assert(ddl.contains("small SMALLINT"))
+    assert(ddl.contains("score FLOAT"))
+    assert(ddl.contains("tags ARRAY<INT> NOT NULL"))
+    assert(ddl.contains("attrs MAP<STRING, STRING>"))
+    assert(ddl.contains("USING iceberg"))
+    assert(ddl.contains("PARTITIONED BY (bucket(128, id), kind)"))
+    assert(ddl.contains("'format-version' = '2'"))
+    // the engine's own table schema renders and names every north-rule column
+    val seq = Renders.icebergDdl(TokenSchema.sequences, Seq("bucket(128, doc_id)"))
+    assert(seq.contains("doc_id STRING NOT NULL"))
+    assert(seq.contains("tokens ARRAY<INT> NOT NULL"))
+    assert(seq.contains("n_tok INT NOT NULL"))
+    assert(seq.contains("source STRING NOT NULL"))
+  }
+
   test("StructType inference round-trips through a real parquet footer") {
     val st = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").schema
     val inferred = Renders.fromStructType("Document2", st)
