@@ -613,6 +613,17 @@ object OracleSql {
       |FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY canon""".stripMargin,
 
     // Integer-only (// = DIV) so the salting plan is bit-identical.
+    // Salted join certified by the UNSALTED join: salting is internal
+    // mechanics, the result must be identical. pmod mirror: ((k%7)+7)%7.
+    "join_salted" -> """WITH e AS (
+      |  SELECT CASE WHEN event_id % 3 = 0 THEN -1 ELSE user_id END AS k, value
+      |  FROM events),
+      |dim AS (SELECT DISTINCT k, ((k % 7) + 7) % 7 + 1 AS w FROM e)
+      |SELECT e.k, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(round(value * 100) AS BIGINT) * w) AS BIGINT) AS weighted_c
+      |FROM e JOIN dim USING (k)
+      |GROUP BY e.k ORDER BY e.k""".stripMargin,
+
     "key_skew" -> """WITH k AS (
       |  SELECT CASE WHEN event_id % 3 = 0 THEN -1 ELSE user_id END AS key FROM events),
       |c AS (SELECT key, count(*) AS cnt FROM k GROUP BY 1),

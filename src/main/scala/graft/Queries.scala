@@ -684,6 +684,28 @@ object Queries {
       .orderBy(col("cnt").desc, col("key"))
   }
 
+  /** Executed salted join over the key_skew fixture (rel/SaltedJoin —
+    * P42 prescribes the salt factor, this spends it): the planted hot key
+    * (-1, a third of all events) spreads over 8 salt shards instead of
+    * one reducer; the dim side replicates 8×. The oracle runs the PLAIN
+    * unsalted join, certifying that salting is result-invariant —
+    * weighted sums are integer-exact (cents × integer weight) so the
+    * equality is bit-level, not approximate.
+    */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(
+      when(pmod(col("event_id"), lit(3L)) === 0L, lit(-1L))
+        .otherwise(col("user_id")).as("k"),
+      col("event_id"), col("value"))
+    val dim = e.select(col("k")).distinct()
+      .select(col("k").as("dk"), (pmod(col("k"), lit(7L)) + 1L).as("w"))
+    graft.rel.SaltedJoin.inner(e, dim, "k", "dk", xxhash64(col("event_id")), salts = 8)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long") * col("w")).as("weighted_c"))
+      .orderBy(col("k"))
+  }
+
   /** Snapshot diff (pipeline regression check): today's snapshot is
     * yesterday's documents with doc_id%13 rows deleted, doc_id%11 texts
     * edited in place, and doc_id%17 rows re-added under +100000 ids. The

@@ -73,6 +73,7 @@ object SparkEntry {
     "lsh_screen" -> (Queries.lshScreen _),
     "url_canon" -> (Queries.urlCanon _),
     "key_skew" -> (Queries.keySkewAudit _),
+    "join_salted" -> (Queries.joinSalted _),
     "snapshot_diff" -> (Queries.snapshotDiff _),
     "seq_chunk" -> (Queries.seqChunk _),
     "dedup_norm" -> (Queries.dedupNormalized _),

@@ -300,4 +300,27 @@ class RelSpec extends SparkTestBase {
     assert(treeCount(plan, "Exchange") == 1, plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("salted join: result-invariant vs the plain join; build side fans out salts×") {
+    import graft.rel.SaltedJoin
+    // hot key 1L owns 2/3 of the probe side
+    val big = (1 to 90).map(i => (if (i % 3 != 0) 1L else i.toLong, i.toLong))
+      .toDF("k", "rid")
+    val dim = Seq((1L, "hot"), (3L, "c"), (6L, "f"), (9L, "i"), (99L, "absent"))
+      .toDF("dk", "tag")
+    val salted = SaltedJoin.inner(big, dim, "k", "dk", xxhash64(col("rid")), salts = 4)
+    val plain = big.join(dim, col("k") === col("dk"))
+    // identical multiset of rows, identical columns (salts dropped)
+    assert(salted.columns.sorted.toSeq === plain.columns.sorted.toSeq)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(salted).count() === 0L)
+    // the build side really replicates: pre-join row count = |dim| × salts
+    val build = dim.withColumn("_salt_b", explode(typedLit((0 until 4).toArray)))
+    assert(build.count() === dim.count() * 4)
+    // and the probe's hot key spreads over >1 salt shard
+    val shards = big.filter(col("k") === 1L)
+      .select(pmod(xxhash64(col("rid")), lit(4L))).distinct().count()
+    assert(shards > 1L, s"hot key must fan out, got $shards shard(s)")
+  }
 }
