@@ -788,6 +788,42 @@ object OracleSql {
       |       CAST(vec_id AS BIGINT) AS neighbor
       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // Quantized top-k: replay the int8 fit + quantization (same op order
+    // as emb_quantize), then rank by the PURE-INTEGER dot product —
+    // tie-break (dot DESC, vec_id) matches the TopKAgg total order.
+    "sim_topk_quant" -> """WITH v0 AS (
+      |  SELECT vec_id, unnest(range(len(embedding))) AS i, embedding
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS v FROM v0),
+      |p AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
+      |s AS (SELECT i, mn,
+      |        CASE WHEN mx = mn THEN 0.0 ELSE 255.0 / (mx - mn) END AS sc
+      |      FROM p),
+      |qv AS (
+      |  SELECT vec_id, x.i,
+      |         CAST(floor((v - mn) * sc + 0.5) AS BIGINT) AS qr
+      |  FROM x JOIN s ON x.i = s.i),
+      |qc AS (
+      |  SELECT vec_id, i,
+      |         CASE WHEN qr < 0 THEN 0 WHEN qr > 255 THEN 255 ELSE qr END AS q
+      |  FROM qv),
+      |qz AS (SELECT vec_id, list(q ORDER BY i) AS qe FROM qc GROUP BY vec_id),
+      |qs AS (SELECT vec_id AS qid, qe FROM qz WHERE vec_id < 10),
+      |sc2 AS (
+      |  SELECT q.qid, c.vec_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(range(1, len(c.qe) + 1),
+      |             i -> c.qe[i] * q.qe[i])),
+      |           (a, y) -> a + y) AS dot
+      |  FROM qz c, qs q WHERE c.vec_id <> q.qid),
+      |r AS (SELECT qid, vec_id,
+      |        row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+      |      FROM sc2)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+      |       CAST(vec_id AS BIGINT) AS neighbor
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     // Full SQL mirror of the ANN pipeline: hyperplane bucket (pure integer
     // plane formula, index-ordered double fold — bit-identical to
     // graft.functions.HyperplaneLsh), Hamming-1 multi-probe on the query

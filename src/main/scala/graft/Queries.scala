@@ -1040,6 +1040,19 @@ object Queries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Quantized-rescoring top-k: both sides int8-quantized with one fitted
+    * param set, ranked by the pure-INTEGER dot product — the ranking is
+    * bit-portable by construction (no IEEE op-order argument needed), so
+    * the oracle replays fit → quantize → integer dot → rank end to end.
+    */
+  def simTopKQuant(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val (mins, scales) = Quantize.fitMinMax(e, "embedding")
+    Knn.quantizedTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        5, mins, scales)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** ANN over a corpus with PLANTED exact twins of the queries
     * (vec_id + 100000): the raw synthetic embeddings are unclustered, so
     * "nearest" is barely above random cosine — no honest sub-linear method

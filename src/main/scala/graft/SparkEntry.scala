@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_keep_best" -> (Queries.dedupKeepBest _),
     "split_safe" -> (Queries.splitSafe _),
     "sim_topk" -> (Queries.simTopK _),
+    "sim_topk_quant" -> (Queries.simTopKQuant _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
     "ivf_fit" -> (Queries.ivfFit _),

@@ -55,6 +55,30 @@ object Knn {
     rankTopK(scored, k)
   }
 
+  /** Exact top-k by INT8 dot product over quantized vectors (the search
+    * half of graft.sim.Quantize): both sides quantize with the same fitted
+    * (mins, scales) params, scoring is a pure-integer dot (max term
+    * 255·255, max 64-dim sum ≈ 4.2·10^6 — overflow-free, and integers
+    * make the RANKING bit-portable with no IEEE argument needed at all).
+    * This is what a production rescorer runs over a quantized index:
+    * 4× less memory traffic per candidate than float32, SIMD-friendly.
+    * Same bounded-heap ranking as cosineTopK — map-side ≤k per query.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, k: Int,
+                    mins: Seq[Double], scales: Seq[Double]): DataFrame = {
+    import graft.functions.hashExprs.quantize_int8
+    val q = queries.select(col(idCol).as("qid"),
+      quantize_int8(col(embCol), mins, scales).as("qe"))
+    val scored = corpus.select(col(idCol).as("neighbor"),
+        quantize_int8(col(embCol), mins, scales).as("ce"))
+      .join(broadcast(q), col("neighbor") =!= col("qid"))
+      .withColumn("cos",
+        aggregate(zip_with(col("ce"), col("qe"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).cast("double"))
+    rankTopK(scored, k)
+  }
+
   /** LSH bucket: bit p = sign of <emb, plane_p>, deterministic
     * integer-formula hyperplanes — one codegen-friendly custom expression
     * per row (graft.functions.HyperplaneLsh), replacing the interpreted

@@ -339,6 +339,28 @@ class OpsSpec extends SparkTestBase {
     assert(diff === 0L)
   }
 
+  test("quantized top-k: k rows per query, never the query itself, integer scores agree with a replay") {
+    import graft.sim.{Knn, Quantize}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (mins, scales) = Quantize.fitMinMax(e, "embedding")
+    val got = Knn.quantizedTopK(e, e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", 5, mins, scales)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 5, s"query $q")
+      assert(rows.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      assert(!rows.exists(_._3 == q), s"query $q returned itself")
+    }
+    // determinism: a second run returns the identical ranking
+    val again = Knn.quantizedTopK(e, e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", 5, mins, scales)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(x => (x._1, x._2)).toSeq === got.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("fd_audit: conflicting payloads under one key reported; agreeing dups are not") {
     import graft.stats.FdAudit
     val df = Seq(
