@@ -57,4 +57,26 @@ object StreamingValidator {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
+
+  /** Ingestion-time decontamination screen: each arriving doc's word
+    * n-grams probe the offline-fitted eval Bloom filter (the same
+    * `BloomMightContain` expression as batch `contaminationHitsBloom`) —
+    * a STATELESS projection, so it needs no watermark, no state store,
+    * and adds zero shuffle to the ingest plan. Emits flagged docs with
+    * their candidate-gram count. One-sided error: a doc with NO flagged
+    * gram is definitively clean (safe to admit); flagged docs carry Bloom
+    * false positives by design and go to the exact verify — downstream a
+    * stream-static join against the real eval-gram set (stateless per
+    * micro-batch), or the batch path on the quarantine table.
+    */
+  def contaminationScreen(stream: DataFrame, textCol: String, idCol: String,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      n: Int = 3): DataFrame = {
+    import graft.functions.hashExprs.{bloom_might_contain, word_shingles}
+    import graft.text.TextAnalysis.words
+    stream.select(col(idCol).as("doc_id"),
+        size(filter(word_shingles(words(col(textCol)), n),
+          g => bloom_might_contain(xxhash64(g), bloom))).as("cand_ngrams"))
+      .filter(col("cand_ngrams") > 0)
+  }
 }

@@ -148,6 +148,53 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming contamination screen: no false negatives vs the exact batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.curate.Curation
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val evalSet = d.filter(col("doc_id") % 97 === 0)
+    // offline fit (batch side), exactly as contaminationHitsBloom builds it
+    import graft.functions.hashExprs.word_shingles
+    import graft.text.TextAnalysis.words
+    val evalGrams = evalSet
+      .select(explode(word_shingles(words(col("text")), 3)).as("g")).distinct()
+    val hashed = evalGrams.select(xxhash64(col("g")).as("h"))
+    val bloom = hashed.stat.bloomFilter("h", math.max(hashed.count(), 1L), 0.01)
+    val bcast = spark.sparkContext.broadcast(bloom)
+    // exact truth from the batch operator: (doc_id, distinct hit grams)
+    val truth = Curation.contaminationHits(train, evalSet, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(truth.nonEmpty, "fixture must plant contamination")
+    // stream the train docs through the screen
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingValidator.contaminationScreen(stream, "text", "doc_id", bcast)
+      .writeStream.format("memory").queryName("screen").outputMode("append").start()
+    try {
+      mem.addData(train.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      val cand = spark.table("screen").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("cand_ngrams").toLong).toMap
+      // one-sided: every truly contaminated doc is flagged, with at least
+      // its true hit count among the candidates (no false negatives)
+      truth.foreach { case (id, hits) =>
+        assert(cand.getOrElse(id, 0L) >= hits, s"doc $id: ${cand.get(id)} < $hits")
+      }
+      // the screen is informative at the GRAM level (its actual job:
+      // shrinking the exact-verify join input): surplus candidate grams
+      // across the whole corpus stay within a few × fpp of total grams.
+      // Doc-level flag counts amplify fpp by any-of-N and are NOT the
+      // screen's contract — the verify join removes those docs.
+      val totalGrams = train.select(
+          sum(size(word_shingles(words(col("text")), 3)))).first.getLong(0)
+      val surplus = cand.values.sum - truth.values.sum
+      assert(surplus >= 0 && surplus <= math.max(50L, totalGrams * 3 / 100),
+        s"surplus $surplus of $totalGrams grams")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first occurrence of each content hash across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
