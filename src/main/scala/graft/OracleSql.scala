@@ -1427,6 +1427,74 @@ object OracleSql {
       |    (acc, x) -> (acc*1000003 + x) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Bigram fluency mirror: same relative threshold (c*1000 >= total
+    // occurrences), same floor-permille idiom. Grams are enumerated with
+    // the list_transform(range)+unnest idiom (the table-function range
+    // cannot take lateral column args); the "u v" string is equivalent to
+    // the engine's (u, v) pair key because words are whitespace-split
+    // (injective concat). Sub-2-word docs are re-attached by the LEFT
+    // JOIN with zero counts and a NULL permille.
+    "ngram_fluency" -> """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |big AS (SELECT doc_id, unnest(list_transform(
+      |          range(0, greatest(len(ws) - 1, 0)),
+      |          j -> ws[j+1] || ' ' || ws[j+2])) AS g FROM w),
+      |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM big),
+      |flagged AS (SELECT g, (c * 1000 >= t) AS common FROM cnt, tot),
+      |pd AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+      |         CAST(sum(CASE WHEN f.common THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      |       FROM big b JOIN flagged f ON b.g = f.g GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(pd.n_big, 0) AS n_big,
+      |  COALESCE(pd.n_common, 0) AS n_common,
+      |  CASE WHEN COALESCE(pd.n_big, 0) > 0
+      |    THEN CAST(floor(1000 * pd.n_common / pd.n_big) AS BIGINT) END AS common_permille
+      |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      |ORDER BY d.doc_id""".stripMargin,
+
+    // Trigram novelty mirror: DISTINCT (doc, gram), min doc id per gram via
+    // a window (exactly the engine's Window.partitionBy(g)), permille over
+    // the doc's distinct-gram count.
+    "ngram_novelty" -> """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |tri AS (SELECT DISTINCT doc_id, g FROM (
+      |          SELECT doc_id, unnest(list_transform(
+      |            range(0, greatest(len(ws) - 2, 0)),
+      |            j -> ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3])) AS g FROM w)),
+      |flag AS (SELECT doc_id, g,
+      |           min(doc_id) OVER (PARTITION BY g) AS first_doc FROM tri),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |         CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |       FROM flag GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(pd.n_grams, 0) AS n_grams,
+      |  COALESCE(pd.n_novel, 0) AS n_novel,
+      |  CASE WHEN COALESCE(pd.n_grams, 0) > 0
+      |    THEN CAST(floor(1000 * pd.n_novel / pd.n_grams) AS BIGINT) END AS novelty_permille
+      |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      |ORDER BY d.doc_id""".stripMargin,
+
+    // Source-overlap mirror: per-source DISTINCT bigram sets, gram-keyed
+    // self-join intersection, all unordered pairs kept (empty intersection
+    // => 0). String '<' is binary order in both engines.
+    "source_overlap" -> """WITH w AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |sg AS (SELECT DISTINCT source, g FROM (
+      |         SELECT source, unnest(list_transform(
+      |           range(0, greatest(len(ws) - 1, 0)),
+      |           j -> ws[j+1] || ' ' || ws[j+2])) AS g FROM w)),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sg GROUP BY 1),
+      |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+      |            CAST(count(*) AS BIGINT) AS inter
+      |          FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT x.source AS src_a, y.source AS src_b, x.sz AS sz_a, y.sz AS sz_b,
+      |  COALESCE(i.inter, 0) AS inter,
+      |  CAST(floor(1000 * COALESCE(i.inter, 0) /
+      |    (x.sz + y.sz - COALESCE(i.inter, 0))) AS BIGINT) AS jaccard_permille
+      |FROM sizes x JOIN sizes y ON x.source < y.source
+      |LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source
+      |ORDER BY src_a, src_b""".stripMargin,
+
     "multimodal_meta" -> """SELECT doc_id,
       |  CAST(strlen(text) AS BIGINT) AS n_bytes,
       |  CAST(64 + strlen(text) % 577 AS BIGINT) AS width,

@@ -18,7 +18,7 @@ import graft.run.Validator
 import graft.schema._
 import graft.sim.{Knn, Quantize}
 import graft.stats.{FdAudit, SkewAudit, SnapshotDiff, StatsPass}
-import graft.text.{Chunker, TextAnalysis}
+import graft.text.{Chunker, NgramStats, TextAnalysis}
 import graft.unique.SaltedUniqueness
 
 /** The authoritative input schema (BASELINE.json:15) declared in the
@@ -1300,6 +1300,26 @@ object Queries {
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Common-bigram fluency (text.NgramStats): the n-gram-LM quality signal
+    * in exact integers — relative threshold (count*1000 >= corpus total),
+    * so the classification is scale-free.
+    */
+  def ngramFluency(s: SparkSession, dir: String): DataFrame =
+    NgramStats.bigramFluency(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** First-occurrence trigram novelty (text.NgramStats): distinct-gram
+    * fraction whose corpus-min doc id is this doc.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    NgramStats.trigramNovelty(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Pairwise source bigram-set Jaccard matrix (text.NgramStats). */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    NgramStats.sourceOverlap(docs(s, dir), "source", "text")
+      .orderBy(col("src_a"), col("src_b"))
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     MediaPipeline.metaColumns(docs(s, dir)).orderBy(col("doc_id"))

@@ -108,6 +108,9 @@ object SparkEntry {
     "text_quality" -> (Queries.textQuality _),
     "text_lang_id" -> (Queries.textLangId _),
     "text_fingerprint" -> (Queries.textFingerprint _),
+    "ngram_fluency" -> (Queries.ngramFluency _),
+    "ngram_novelty" -> (Queries.ngramNovelty _),
+    "source_overlap" -> (Queries.sourceOverlap _),
     "multimodal_meta" -> (Queries.multimodalMeta _)
   )
 

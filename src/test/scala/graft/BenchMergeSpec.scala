@@ -158,9 +158,12 @@ class BenchMergeSpec extends AnyFunSuite {
     results.filter(_._2 > 1.0).foreach { case (n, _) =>
       assert(line.contains("\"" + n + "\""), s"slow query $n dropped")
     }
-    // the cut, if any, is small and declared
+    // the cut, if any, is a small FRACTION of the suite and declared (the
+    // absolute tail grows as operators are added — the budget is fixed
+    // chars, so what must stay bounded is the omitted share, not a count)
     val omitted = """"q_omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
-    omitted.foreach(k => assert(k <= 10, s"cut too deep: $k of ${results.size}"))
+    omitted.foreach(k => assert(k <= math.max(10, results.size / 5),
+      s"cut too deep: $k of ${results.size}"))
     val reported = results.count { case (n, _) => line.contains("\"" + n + "\"") }
     assert(reported + omitted.getOrElse(0) == results.size,
       s"reported $reported + omitted ${omitted.getOrElse(0)} != ${results.size}")
