@@ -124,6 +124,18 @@ object OracleSql {
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |  (acc, x) -> acc + x)""".stripMargin
 
+  /** Hyperplane-LSH bucket over planes [lo, hi) of an `embedding` column —
+    * the SQL mirror of graft.functions.HyperplaneLsh's integer plane
+    * weights ((p*12289 + i*331) % 997 - 498) and sign-bit packing.
+    */
+  private def hyperBucket(lo: Int, hi: Int): String =
+    s"""list_reduce(list_prepend(0, list_transform(range($lo, $hi), p ->
+       |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(0, len(embedding)),
+       |             i -> CAST(embedding[i+1] AS DOUBLE) * ((p*12289 + i*331) % 997 - 498))),
+       |           (a, x) -> a + x) > 0 THEN 1 ELSE 0 END)),
+       |    (acc, bb) -> acc*2 + bb)""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "seq_synth" -> s"""WITH $Seqs
@@ -537,6 +549,38 @@ object OracleSql {
       |SELECT doc_a, doc_b, jac FROM nd_pairs ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" -> DedupRecallReport,
+
+    // Leakage audit mirror: exact all-pairs nd_pairs (certified equal to
+    // the engine's LSH pipeline by dedup_ngram_jaccard) + the sampleBucket
+    // modular split formula on both endpoints; leaks = straddling pairs.
+    "split_leak_audit" -> s"""WITH $NearDupPairs,
+      |sp AS (SELECT doc_a, doc_b, jac,
+      |  CASE WHEN ((doc_a % 1000003) * 2654435761 + 12345) % 1000 < 800 THEN 'train'
+      |       WHEN ((doc_a % 1000003) * 2654435761 + 12345) % 1000 < 900 THEN 'val'
+      |       ELSE 'test' END AS split_a,
+      |  CASE WHEN ((doc_b % 1000003) * 2654435761 + 12345) % 1000 < 800 THEN 'train'
+      |       WHEN ((doc_b % 1000003) * 2654435761 + 12345) % 1000 < 900 THEN 'val'
+      |       ELSE 'test' END AS split_b
+      |  FROM nd_pairs)
+      |SELECT doc_a, doc_b, split_a, split_b, jac FROM sp
+      |WHERE split_a <> split_b ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Coverage-curve mirror: vocab-sized window (rank + running sum over
+    // (cnt DESC, tok)), fixed k ladder, floor-permille of the cumulative
+    // share. sum() OVER returns HUGEINT -- cast before the arithmetic.
+    "vocab_coverage" -> s"""WITH $Seqs,
+      |tokf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      |         FROM (SELECT unnest(tokens) AS tok FROM seqs) GROUP BY 1),
+      |r AS (SELECT tok, cnt,
+      |        row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+      |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM tokf),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tokf)
+      |SELECT CAST(rank AS BIGINT) AS k, cum AS cum_tokens,
+      |  CAST(floor(1000 * cum / t) AS BIGINT) AS coverage_permille
+      |FROM r, tot WHERE rank IN (16, 64, 256, 1024, 4096, 16384)
+      |ORDER BY k""".stripMargin,
 
     // Bipartite ground truth for incremental screening: exact all-pairs
     // Jaccard across (history × batch) — both LSH error directions are
@@ -1119,6 +1163,38 @@ object OracleSql {
       |            ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin,
 
+    // Dedup-weighted effective size: reachability groups (as in
+    // split_safe), anchor = group min doc id; planted +100000 copies take
+    // their original's source via the src CTE join; one source-keyed
+    // rollup of raw vs anchor-only word counts.
+    "effective_size" -> s"""WITH RECURSIVE $NearDupPairs,
+      |src AS (
+      |  SELECT doc_id, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, source FROM documents WHERE doc_id % 20 = 0),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM nd_pairs
+      |  UNION
+      |  SELECT doc_b AS s, doc_a AS d FROM nd_pairs),
+      |reach(s, d) AS (
+      |  SELECT s, d FROM edges
+      |  UNION
+      |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+      |grp AS (
+      |  SELECT s AS doc_id, least(s, min(d)) AS group_id
+      |  FROM reach GROUP BY s),
+      |asg AS (
+      |  SELECT c.doc_id, s.source,
+      |    CAST(len(regexp_split_to_array(trim(c.text), '\\s+')) AS BIGINT) AS w,
+      |    COALESCE(g.group_id, c.doc_id) AS group_id
+      |  FROM nd_corpus c JOIN src s ON c.doc_id = s.doc_id
+      |  LEFT JOIN grp g ON c.doc_id = g.doc_id)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id = group_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(w) AS BIGINT) AS words_raw,
+      |  CAST(sum(CASE WHEN doc_id = group_id THEN w ELSE 0 END) AS BIGINT) AS words_kept
+      |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Quality-aware canonical election: reachability groups (as in
     // dedup_groups) joined to the text_quality formula over nd_corpus;
     // winner = (quality DESC, words DESC, doc_id) row_number 1
@@ -1271,6 +1347,32 @@ object OracleSql {
     // so the oracle IS the exact-set semantics — a hash mismatch here
     // would mean the screen dropped a true hit (impossible for a correct
     // Bloom) or the verify let a false positive through.
+    // Embedding-space decontamination mirror: bipartite hyperplane-LSH
+    // bucket join (train x eval, OR over the two bands — several-band
+    // collisions collapse because the join is on the pair, not per band),
+    // exact cosine on candidates, threshold 0.9. Planted leaks (every 50th
+    // eval vector copied into train at +200000) must appear at cos = 1.
+    "decontam_emb" -> s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |ev AS (SELECT vec_id, embedding FROM e WHERE vec_id % 25 = 0),
+      |tr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 25 <> 0
+      |       UNION ALL
+      |       SELECT vec_id + 200000 AS vec_id, embedding FROM ev WHERE vec_id % 50 = 0),
+      |bt AS (SELECT vec_id, embedding,
+      |         ${hyperBucket(0, 16)} AS bucket0,
+      |         ${hyperBucket(16, 32)} AS bucket1 FROM tr),
+      |be AS (SELECT vec_id, embedding,
+      |         ${hyperBucket(0, 16)} AS bucket0,
+      |         ${hyperBucket(16, 32)} AS bucket1 FROM ev),
+      |p AS (SELECT t.vec_id AS vec_train, v.vec_id AS vec_eval,
+      |        round(${dot("t.embedding", "v.embedding")}
+      |          / (sqrt(${dot("t.embedding", "t.embedding")})
+      |             * sqrt(${dot("v.embedding", "v.embedding")})), 6) AS cos
+      |      FROM bt t JOIN be v
+      |        ON (t.bucket0 = v.bucket0 OR t.bucket1 = v.bucket1))
+      |SELECT CAST(vec_train AS BIGINT) AS vec_train,
+      |  CAST(vec_eval AS BIGINT) AS vec_eval, cos
+      |FROM p WHERE cos >= 0.9 ORDER BY vec_train, vec_eval""".stripMargin,
+
     "decontam_bloom" -> """WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
       |sh AS (

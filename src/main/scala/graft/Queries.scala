@@ -772,6 +772,25 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Embedding-space decontamination (dedup.Dedup.embeddingPairsAgainst):
+    * eval = vec_id % 25 == 0, train = the rest PLUS planted leaks (exact
+    * copies of every 50th eval vector re-keyed to 200000+vec_id) — the
+    * paraphrase-leakage screen n-gram decontamination can't see. The
+    * planted copies must surface at cos = 1; organic cross-set neighbors
+    * may join them. Oracle mirrors the bipartite bucket join + cosine.
+    */
+  def decontamEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val evalSet = e.filter(pmod(col("vec_id"), lit(25L)) === 0L)
+    val leaks = evalSet.filter(pmod(col("vec_id"), lit(50L)) === 0L)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val train = e.filter(pmod(col("vec_id"), lit(25L)) =!= 0L).unionByName(leaks)
+    Dedup.embeddingPairsAgainst(train, evalSet, "vec_id", "embedding", 0.9)
+      .select(col("vec_train").cast("long").as("vec_train"),
+        col("vec_eval").cast("long").as("vec_eval"), col("cos"))
+      .orderBy(col("vec_train"), col("vec_eval"))
+  }
+
   /** Embedding dedup in SCALE MODE (VERDICT r3 #7): a planted dense
     * cluster — vec_id 0 plus 40 clones of its embedding at 300000+k —
     * overflows maxBucket=20 in EVERY band (identical vectors land in one
@@ -907,6 +926,92 @@ object Queries {
     * split hash, so group recall, singleton defaulting, and the split
     * decision are all hash-checked.
     */
+  /** Dedup-weighted effective corpus size per source — "how much UNIQUE
+    * data do I actually have," the number a token-budget plan needs
+    * (raw token counts overstate a crawl corpus by its duplication
+    * factor). Each transitive near-dup group (P3 pairs → P7 closure) is
+    * counted ONCE, attributed to its anchor doc's source (anchor = the
+    * group's min doc id — deterministic, and exactly the exemplar
+    * [[graft.dedup.Dedup.duplicateGroups]] elects). Planted +100000
+    * copies inherit their original's source, so sources with planted
+    * dups show words_kept < words_raw.
+    *
+    * Scale shape: group membership is anomaly-sized (only docs IN a dup
+    * pair appear) → broadcast LEFT join onto the corpus, which never
+    * shuffles for the assignment; the report is one source-keyed
+    * aggregate (source cardinality output).
+    */
+  def effectiveSize(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val corpus = d.unionByName(
+      d.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" graft extra suffix tokens")).as("text"),
+          col("source")))
+    val groups = Dedup.duplicateGroups(
+      Dedup.minhashLshPairs(corpus, "text", "doc_id", 0.3), "doc_a", "doc_b")
+      .select(col("doc_id"), col("group_id"))
+    corpus
+      .join(broadcast(groups), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.wordCount(col("text")).as("_w"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("group_id"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("_w")).as("words_raw"),
+        sum(when(col("doc_id") === col("group_id"), col("_w")).otherwise(0L))
+          .as("words_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Split-leakage audit — the checker counterpart of [[splitSafe]]: given
+    * the NAIVE per-doc hash split (the thing people actually ship), report
+    * every near-dup pair that straddles two splits, i.e. every benchmark-
+    * inflation leak the naive split created. Pairs come from the LSH
+    * pipeline (candidates + exact verify — certified equal to all-pairs
+    * ground truth by dedup_ngram_jaccard); the split columns are pure
+    * projections, so the audit costs exactly one pair-pipeline run.
+    */
+  def splitLeakAudit(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val b = Curation.sampleBucket(c)
+      when(b < 800, lit("train")).when(b < 900, lit("val")).otherwise(lit("test"))
+    }
+    Dedup.minhashLshPairs(nearDupCorpus(s, dir), "text", "doc_id", 0.3)
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Token-frequency coverage curve (vocab sizing): cumulative corpus
+    * coverage of the top-k most frequent tokens at a fixed k ladder —
+    * the table a tokenizer/vocab-size decision reads (where does coverage
+    * saturate?). The rank/cumsum window is GLOBAL but runs over the
+    * token-VOCAB aggregate, whose cardinality is bounded by the token
+    * space (2^15 here, ≤ ~2^17 for real BPE vocabs) — never corpus-sized,
+    * the same bounded-domain argument as lengthBuckets. Ties break on
+    * token id, so the curve is deterministic in both engines.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val freq = clean(s, dir).select(explode(col("tokens")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    val tot = freq.agg(sum(col("cnt")).as("_t"))
+    freq
+      .withColumn("k", row_number().over(w))
+      .withColumn("cum", sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("k").isin(16, 64, 256, 1024, 4096, 16384))
+      .crossJoin(broadcast(tot))
+      .select(col("k").cast("long").as("k"), col("cum").as("cum_tokens"),
+        floor(lit(1000L) * col("cum") / col("_t")).cast("long")
+          .as("coverage_permille"))
+      .orderBy(col("k"))
+  }
+
   def splitSafe(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(s, dir)
     val groups = Dedup.duplicateGroups(

@@ -84,6 +84,9 @@ object SparkEntry {
     "dedup_groups" -> (Queries.dedupGroups _),
     "dedup_keep_best" -> (Queries.dedupKeepBest _),
     "split_safe" -> (Queries.splitSafe _),
+    "effective_size" -> (Queries.effectiveSize _),
+    "split_leak_audit" -> (Queries.splitLeakAudit _),
+    "vocab_coverage" -> (Queries.vocabCoverage _),
     "sim_topk" -> (Queries.simTopK _),
     "sim_topk_quant" -> (Queries.simTopKQuant _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
@@ -100,6 +103,7 @@ object SparkEntry {
     "lm_oov" -> (Queries.lmOov _),
     "decontaminate" -> (Queries.decontaminate _),
     "decontam_bloom" -> (Queries.decontamBloom _),
+    "decontam_emb" -> (Queries.decontamEmb _),
     "doc_repetition" -> (Queries.docRepetition _),
     "curation_gate" -> (Queries.curationGate _),
     "text_redact" -> (Queries.textRedact _),

@@ -272,6 +272,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("cos"))
   }
 
+  /** Embedding-space decontamination: which TRAIN vectors are near-dups
+    * (cosine >= threshold) of an EVAL/benchmark set? The embedding-level
+    * counterpart of the n-gram decontaminate — paraphrased or re-tokenized
+    * benchmark leakage that shares no exact n-grams still lands next to
+    * the eval point in embedding space.
+    *
+    * Bipartite shape (mirrors [[minhashLshPairsAgainst]]): both sides get
+    * multi-band hyperplane-LSH buckets, candidates are the INNER join on
+    * (band, bucket) — never train×train, so the shuffle is
+    * O(eval × bands) against the train side's bucket table (AQE broadcasts
+    * the eval side when it is small, the expected case: benchmarks are
+    * thousands of rows, train is the corpus). Same-pair multi-band
+    * collisions dedup BEFORE the embedding re-join; exact cosine verifies
+    * candidates only. Returns (vec_train, vec_eval, cos), cos >= threshold.
+    */
+  def embeddingPairsAgainst(train: DataFrame, eval: DataFrame,
+                            idCol: String, embCol: String, threshold: Double,
+                            nbits: Int = 16, bands: Int = 2): DataFrame = {
+    def buckets(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(side),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            graft.functions.hashExprs.hyperplane_lsh(col(embCol), nbits, b * nbits)
+              .as("bucket"))): _*)).as("bb"))
+        .select(col(side), col("bb.band"), col("bb.bucket"))
+    val pairs = buckets(train, "vec_train")
+      .join(buckets(eval, "vec_eval"), Seq("band", "bucket"))
+      .select(col("vec_train"), col("vec_eval"))
+      .dropDuplicates("vec_train", "vec_eval")
+    pairs
+      .join(train.select(col(idCol).as("vec_train"), col(embCol).as("ea")),
+        Seq("vec_train"))
+      .join(eval.select(col(idCol).as("vec_eval"), col(embCol).as("eb")),
+        Seq("vec_eval"))
+      .withColumn("cos", round(graft.sim.Knn.cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_train"), col("vec_eval"), col("cos"))
+  }
+
   // ---------- SimHash ----------
 
   /** 63-bit SimHash over word hashes (bit 63 unused: 2^63 overflows signed

@@ -475,6 +475,74 @@ class CurationSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("effective size: a cross-source dup group is kept once, in the anchor's source") {
+    import spark.implicits._
+    // docs 1 (srcA) and 2 (srcB) are near-identical -> one group anchored
+    // at 1; doc 3 (srcB) is distinct. Raw counts both sides; kept counts
+    // only anchors: srcA keeps doc 1 (5 words), srcB keeps only doc 3.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon", "srcA"),
+      (2L, "alpha beta gamma delta zeta", "srcB"),
+      (3L, "one two three four five six", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val groups = graft.dedup.Dedup.duplicateGroups(
+      graft.dedup.Dedup.minhashLshPairs(corpus, "text", "doc_id", 0.3),
+      "doc_a", "doc_b").select(col("doc_id"), col("group_id"))
+    val asg = corpus.join(broadcast(groups), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        graft.text.TextAnalysis.wordCount(col("text")).as("w"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    val rep = asg.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("group_id"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("w")).as("words_raw"),
+        sum(when(col("doc_id") === col("group_id"), col("w")).otherwise(0L)).as("words_kept"))
+      .orderBy("source").collect()
+    assert(rep(0).getString(0) === "srcA" && rep(0).getLong(2) === 1L &&
+      rep(0).getLong(3) === 5L && rep(0).getLong(4) === 5L)
+    assert(rep(1).getString(0) === "srcB" && rep(1).getLong(1) === 2L &&
+      rep(1).getLong(2) === 1L && rep(1).getLong(4) === 6L)
+  }
+
+  test("split leak audit: a near-dup pair straddling train/val is reported; same-split pairs are not") {
+    // sampleBucket(1)=106 (train), sampleBucket(2)=867 (val): docs 1 and 2
+    // are near-identical -> one straddling leak. Docs 5 and 9 both hash to
+    // train (428, 750): near-identical but NOT a leak.
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (5L, "one two three four five six seven"),
+      (9L, "one two three four five six eight")
+    ).toDF("doc_id", "text")
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = Curation.sampleBucket(c)
+      when(b < 800, lit("train")).when(b < 900, lit("val")).otherwise(lit("test"))
+    }
+    val leaks = graft.dedup.Dedup.minhashLshPairs(corpus, "text", "doc_id", 0.3)
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(leaks === Set((1L, 2L)))
+  }
+
+  test("vocab coverage: query is monotone in k, ends at full coverage, deterministic") {
+    val a = Queries.vocabCoverage(spark, "/root/testdata/sf0.001").collect()
+    assert(a.nonEmpty)
+    val perm = a.map(_.getLong(2))
+    assert(perm.sameElements(perm.sorted), "coverage must be nondecreasing in k")
+    // near-uniform synthetic counts: top-16 of ~32k tokens floors to 0
+    // permille (correct), but half the vocab must cover roughly half the
+    // corpus, and never more than all of it
+    assert(perm.last >= 400L && perm.last <= 1000L)
+    val cums = a.map(_.getLong(1))
+    assert(cums.distinct.length === cums.length &&
+      cums.sameElements(cums.sorted), "cumulative counts strictly increase")
+    val b = Queries.vocabCoverage(spark, "/root/testdata/sf0.001").collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
   test("drift EMD: hand-computed value, integer-exact numerator, shift sensitivity") {
     import spark.implicits._
     // epoch 0: 4 rows in bucket 0; epoch 1: 2 in bucket 0, 2 in bucket 1.

@@ -373,6 +373,21 @@ class OpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq(("k2", 3L, "a", "c")))
   }
 
+  test("embedding decontamination: planted eval leaks flagged at cos 1; orthogonal train vectors are not") {
+    import spark.implicits._
+    // 8-dim unit basis vectors: e0/e1 are eval; train holds an exact copy
+    // of e0 (the leak), plus e2/e3 (orthogonal to both eval points)
+    def basis(i: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    val evalSet = Seq((0L, basis(0)), (1L, basis(1))).toDF("vec_id", "embedding")
+    val train = Seq((100L, basis(0)), (101L, basis(2)), (102L, basis(3)))
+      .toDF("vec_id", "embedding")
+    val hits = graft.dedup.Dedup
+      .embeddingPairsAgainst(train, evalSet, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.toSeq === Seq((100L, 0L, 1.0)))
+  }
+
   test("multimodal: mapPartitions stub decode agrees with the column twin") {
     val viaBatch = MediaPipeline.decodeMeta(MediaPipeline.fromDocuments(docs))
       .select(col("media_id").as("doc_id"), col("n_bytes"), col("width"),
