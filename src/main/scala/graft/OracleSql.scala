@@ -161,6 +161,33 @@ object OracleSql {
       |    WHERE tokens IS NOT NULL AND n_tok IS NOT NULL AND len(tokens) <> n_tok
       |) v ORDER BY constraint_id, doc_id NULLS FIRST""".stripMargin,
 
+    // P60: ≤3 exemplar rows per constraint. NULLS FIRST in the window
+    // ordering matches Spark's asc_nulls_first (DuckDB defaults NULLS
+    // LAST on ASC); ties (duplicated doc_ids) yield identical rows, so
+    // row_number over them is output-deterministic in both engines.
+    "violation_examples" -> s"""WITH $Dirty,
+      |v AS (
+      |  SELECT doc_id, 'required_doc_id' AS constraint_id FROM dirty WHERE doc_id IS NULL
+      |  UNION ALL
+      |  SELECT doc_id, 'regex_doc_id' FROM dirty
+      |    WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{12}$$')
+      |  UNION ALL
+      |  SELECT doc_id, 'array_elem_tokens' FROM dirty
+      |    WHERE tokens IS NOT NULL AND len(list_filter(tokens, t -> t IS NULL OR t < 0 OR t > 32767)) > 0
+      |  UNION ALL
+      |  SELECT doc_id, 'range_n_tok' FROM dirty
+      |    WHERE n_tok IS NOT NULL AND (n_tok < 1 OR n_tok > 8192)
+      |  UNION ALL
+      |  SELECT doc_id, 'size_consistent' FROM dirty
+      |    WHERE tokens IS NOT NULL AND n_tok IS NOT NULL AND len(tokens) <> n_tok
+      |),
+      |r AS (SELECT constraint_id, doc_id,
+      |             row_number() OVER (PARTITION BY constraint_id
+      |                                ORDER BY doc_id NULLS FIRST) AS rn
+      |      FROM v)
+      |SELECT constraint_id, doc_id, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 3 ORDER BY constraint_id, rn""".stripMargin,
+
     "unique_dups" -> s"""WITH $Dirty
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt
       |FROM dirty WHERE doc_id IS NOT NULL
@@ -296,6 +323,37 @@ object OracleSql {
       |       round(CAST(sum(abs(cum0*n1 - cum1*n0)) AS DOUBLE) * 32
       |             / (CAST(max(n0) AS DOUBLE) * CAST(max(n1) AS DOUBLE)), 6) AS emd
       |FROM c""".stripMargin,
+
+    // P59: leave-one-out TV permille per source — the planted +512 shift
+    // on src1, the bucketing, the densified source×bucket grid, the
+    // HUGEINT numerator and the floor division are all mirrored exactly
+    // (both engines do pure integer arithmetic end to end)
+    "source_anomaly" -> s"""WITH $Base,
+      |v AS (SELECT source,
+      |             n_tok0 + CASE WHEN source = 'src1' THEN 512 ELSE 0 END AS v
+      |      FROM base),
+      |h AS (SELECT source, CAST(floor(v / 128.0) AS INTEGER) AS bucket,
+      |             count(*) AS cnt
+      |      FROM v GROUP BY 1, 2),
+      |d AS (SELECT s.source, b.bucket, COALESCE(h.cnt, 0) AS cnt
+      |      FROM (SELECT DISTINCT source FROM h) s
+      |      CROSS JOIN (SELECT DISTINCT bucket FROM h) b
+      |      LEFT JOIN h ON h.source = s.source AND h.bucket = b.bucket),
+      |t AS (SELECT source, bucket, cnt,
+      |             sum(cnt) OVER (PARTITION BY bucket) AS tot_b,
+      |             sum(cnt) OVER (PARTITION BY source) AS n_s,
+      |             sum(cnt) OVER () AS n
+      |      FROM d),
+      |p AS (SELECT source, n_s, n - n_s AS n_r,
+      |             sum(abs(CAST(cnt AS HUGEINT) * (n - n_s)
+      |                     - CAST(tot_b - cnt AS HUGEINT) * n_s)) AS num
+      |      FROM t GROUP BY source, n_s, n)
+      |SELECT source, CAST(n_s AS BIGINT) AS n,
+      |       CAST(CASE WHEN n_r > 0 THEN (1000 * num) // (2 * n_s * n_r) END
+      |            AS BIGINT) AS tv_permille,
+      |       CASE WHEN n_r > 0 THEN (1000 * num) // (2 * n_s * n_r) > 600
+      |            ELSE FALSE END AS anomalous
+      |FROM p ORDER BY source""".stripMargin,
 
     "lm_oov" -> s"""WITH $Seqs,
       |tok AS (SELECT doc_id, unnest(tokens) AS tok FROM seqs),

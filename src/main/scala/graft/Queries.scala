@@ -8,7 +8,7 @@ import graft.compile.{ConstraintCompiler, Defaults}
 import graft.curate.{Curation, UrlCanon}
 import graft.constraint._
 import graft.dedup.Dedup
-import graft.drift.DriftCheck
+import graft.drift.{DriftCheck, SourceAnomaly}
 import graft.gen.SyntheticTokens
 import graft.io.Bucketed
 import graft.json.{AvroJsonCodec, JsonCodec}
@@ -355,6 +355,39 @@ object Queries {
         clean(s, dir).withColumn("epoch", pmod(col("orig"), lit(2L))),
         "n_tok", "epoch", 32L),
       bucketWidth = 32L)
+
+  /** P60: violation exemplars — ≤3 example rows PER CONSTRAINT for the
+    * human report ("show me a few offending rows"), the bounded version of
+    * dumping the full violation table a 10^12-row run cannot ship. The
+    * rank(≤k)-after-row_number shape lets Spark's WindowGroupLimit rule
+    * cap each partition map-side BEFORE the window shuffle, so the
+    * exchange carries O(k·constraints·partitions), never the violation
+    * count. Duplicate doc_ids inside a constraint are identical rows, so
+    * row_number over ties is output-deterministic.
+    */
+  def violationExamples(s: SparkSession, dir: String): DataFrame = {
+    val v = ConstraintCompiler.violations(
+      dirty(s, dir), TokenSchema.sequences.rowConstraints, Seq("doc_id"))
+    v.withColumn("rn", row_number().over(
+        Window.partitionBy(col("constraint_id"))
+          .orderBy(col("doc_id").asc_nulls_first)))
+      .filter(col("rn") <= 3)
+      .select(col("constraint_id"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy(col("constraint_id"), col("rn"))
+  }
+
+  /** P59: cross-sectional source anomaly — each source's n_tok
+    * distribution vs the REST of the corpus, integer-exact TV permille
+    * (see [[graft.drift.SourceAnomaly]]). Planted break: src1's lengths
+    * shifted +512 (a "scraper started returning truncation-padded pages"
+    * failure) — exactly src1 must flag; every other source sees only the
+    * ~5% contamination src1 adds to its complement, far under the gate.
+    */
+  def sourceAnomaly(s: SparkSession, dir: String): DataFrame =
+    SourceAnomaly.tvPerSource(
+      clean(s, dir).withColumn("v",
+        col("n_tok") + when(col("source") === "src1", 512).otherwise(0)),
+      "v", "source", 128L)
 
   /** Drift on a provided table: events value distribution across month
     * halves (exact counts + order-free min/max).

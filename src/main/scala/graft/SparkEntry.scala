@@ -40,6 +40,8 @@ object SparkEntry {
     "drift_stats" -> (Queries.driftStats _),
     "drift_gate" -> (Queries.driftGate _),
     "drift_emd" -> (Queries.driftEmd _),
+    "source_anomaly" -> (Queries.sourceAnomaly _),
+    "violation_examples" -> (Queries.violationExamples _),
     "hist_udaf" -> (Queries.histUdaf _),
     "custom_validator" -> (Queries.customValidator _),
     "cond_violations" -> (Queries.condViolations _),

@@ -110,6 +110,22 @@ class BenchMergeSpec extends AnyFunSuite {
       t2 = 288.0, eff28 = 0.90, steal2 = 0.1)
     assert(out4.contains("**0.900** efficiency 2 -> 8 cores (t2 288.00 s vs t8 80.00 s"), out4.takeRight(400))
     assert("Low-contention pair record:".r.findAllIn(out4).size == 1, out4)
+    // eff28 > 1.0 = window mismatch (slow t2 against a record-fast t8):
+    // must never enter the record...
+    val out5 = Bench.mergeBaseline(Some(out4), record(0.50, "| q1_agg | 0.5 |"),
+      0.50, 0.1, 0.2, rps32 = 1L, t8 = 79.6, t32 = 40.0,
+      t2 = 334.26, eff28 = 1.050, steal2 = 0.1)
+    assert(out5.contains("**0.900** efficiency 2 -> 8 cores"),
+      "superlinear pair must be rejected: " + out5.takeRight(400))
+    // ...and a previously-recorded >1.0 value (pre-guard file on disk) is
+    // dropped in favor of the incoming valid pair, not retained
+    val poisoned = out5.replace("**0.900** efficiency 2 -> 8 cores (t2 288.00 s vs t8 80.00 s",
+      "**1.050** efficiency 2 -> 8 cores (t2 334.26 s vs t8 79.60 s")
+    val out6 = Bench.mergeBaseline(Some(poisoned), record(0.50, "| q1_agg | 0.5 |"),
+      0.50, 0.1, 0.2, rps32 = 1L, t8 = 80.0, t32 = 40.0,
+      t2 = 250.0, eff28 = 0.781, steal2 = 0.0)
+    assert(out6.contains("**0.781** efficiency 2 -> 8 cores"),
+      "poisoned record must yield to the valid pair: " + out6.takeRight(400))
   }
 
   // realistic worst-width scaling block (large rows, 3-digit walls) —
@@ -160,9 +176,11 @@ class BenchMergeSpec extends AnyFunSuite {
     }
     // the cut, if any, is a small FRACTION of the suite and declared (the
     // absolute tail grows as operators are added — the budget is fixed
-    // chars, so what must stay bounded is the omitted share, not a count)
+    // chars, so what must stay bounded is the omitted share, not a count;
+    // at ~21 chars/entry a 1600-char budget holds ~70 entries, so the
+    // guard allows a quarter of the suite before calling the cut broken)
     val omitted = """"q_omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
-    omitted.foreach(k => assert(k <= math.max(10, results.size / 5),
+    omitted.foreach(k => assert(k <= math.max(10, results.size / 4),
       s"cut too deep: $k of ${results.size}"))
     val reported = results.count { case (n, _) => line.contains("\"" + n + "\"") }
     assert(reported + omitted.getOrElse(0) == results.size,

@@ -140,4 +140,32 @@ class PassesSpec extends SparkTestBase {
       .agg(hist(col("v"))).head().getSeq[Long](0)
     assert(sketch.toSeq === sketch2.toSeq)
   }
+
+  test("source anomaly: shifted source flags alone, TV bounded, single-source is null") {
+    import graft.drift.SourceAnomaly
+    // 4 sources × 500 rows, uniform pseudo-values in [0, 512); srcX shifted
+    // fully out of band (+512) — disjoint support, TV must be ~1000
+    val base = spark.range(0L, 2000L, 1L, 8).select(
+      concat(lit("src"), pmod(col("id"), lit(4L))).as("source"),
+      pmod(col("id") * 40503L + 17L, lit(512L)).as("v0"))
+    val df = base.withColumn("v",
+      col("v0") + when(col("source") === "src1", 512L).otherwise(0L))
+    val rows = SourceAnomaly.tvPerSource(df, "v", "source", 128L).collect()
+    assert(rows.length === 4)
+    val bySrc = rows.map(r => r.getString(0) ->
+      (r.getLong(2), r.getBoolean(3))).toMap
+    // disjoint support: TV = 1000 exactly for the broken source
+    assert(bySrc("src1")._1 === 1000L && bySrc("src1")._2)
+    // clean sources see only src1's 1/4 contamination of their complement:
+    // TV ≈ 333 permille (1/4 of rest mass sits in unreachable buckets)
+    for (s <- Seq("src0", "src2", "src3")) {
+      assert(!bySrc(s)._2, s"$s must not flag")
+      assert(bySrc(s)._1 >= 0L && bySrc(s)._1 <= 1000L)
+    }
+    // single-source corpus: no complement — NULL TV, not flagged
+    val one = SourceAnomaly.tvPerSource(
+      base.filter(col("source") === "src0").withColumn("v", col("v0")),
+      "v", "source", 128L).collect()
+    assert(one.length === 1 && one.head.isNullAt(2) && !one.head.getBoolean(3))
+  }
 }

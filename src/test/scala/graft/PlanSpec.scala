@@ -159,6 +159,13 @@ class PlanSpec extends SparkTestBase {
       s"probe must be deeper in the tree (below the join):\n${plan.take(1200)}")
   }
 
+  test("violation_examples: WindowGroupLimit caps partitions before the window exchange") {
+    val plan = Queries.violationExamples(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k pushdown did not fire:\n${plan.take(1200)}")
+  }
+
   test("split_safe: the corpus side takes its group id via broadcast, never a shuffle") {
     val plan = Queries.splitSafe(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
