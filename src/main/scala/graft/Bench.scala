@@ -545,7 +545,7 @@ object Bench {
            |Scaling efficiency (8 -> 32 cores = N -> 4N): **$eff%.3f** (target >= 0.8).
            |Steal is /proc/stat col 8 sampled around the chosen (min-wall) rep:
            |co-tenant CPU hits a 32-thread run ~4x harder than an 8-thread run,
-           |so measured efficiency varies with the window (0.41-0.70 observed
+           |so measured efficiency varies with the window (0.36-0.70 observed
            |for unchanged protocol code across round-3/4 full runs — round-4's
            |fused row+ref scan dropped the 32-core wall from ~46 s to ~32 s at
            |2e8 rows, still tracking the shared-DRAM streaming control, while
