@@ -128,13 +128,41 @@ class BenchMergeSpec extends AnyFunSuite {
       "poisoned record must yield to the valid pair: " + out6.takeRight(400))
   }
 
+  test("mid 4->16 pair record: kept at max, survives pairless runs, rejects superlinear") {
+    val md1 = record(0.60, "| q1_agg | 0.4 |")
+    val out1 = Bench.mergeBaseline(None, md1, 0.60, 0.1, 0.2,
+      rps32 = 1L, t8 = 76.53, t32 = 31.87,
+      t4 = 160.2, t16 = 52.1, eff416 = 0.769, steal4 = 0.1, steal16 = 0.2)
+    assert(out1.contains("**0.769** efficiency 4 -> 16 cores (t4 160.20 s vs t16 52.10 s; steal 0.1%/0.2%"), out1.takeRight(500))
+    // pairless later run: record survives
+    val out2 = Bench.mergeBaseline(Some(out1), record(0.70, "| q1_agg | 0.4 |"),
+      0.70, 0.1, 0.2, rps32 = 2L, t8 = 100.0, t32 = 40.0)
+    assert(out2.contains("**0.769** efficiency 4 -> 16 cores"), out2.takeRight(400))
+    // worse kept out, better advances, superlinear rejected
+    val out3 = Bench.mergeBaseline(Some(out2), record(0.50, "| q1_agg | 0.5 |"),
+      0.50, 0.1, 0.2, rps32 = 1L, t8 = 80.0, t32 = 40.0,
+      t4 = 150.0, t16 = 50.0, eff416 = 0.75, steal4 = 0.0, steal16 = 0.0)
+    assert(out3.contains("**0.769** efficiency 4 -> 16 cores"), out3.takeRight(400))
+    val out4 = Bench.mergeBaseline(Some(out3), record(0.50, "| q1_agg | 0.5 |"),
+      0.50, 0.1, 0.2, rps32 = 1L, t8 = 80.0, t32 = 40.0,
+      t4 = 168.0, t16 = 51.2, eff416 = 0.820, steal4 = 0.0, steal16 = 0.1)
+    assert(out4.contains("**0.820** efficiency 4 -> 16 cores (t4 168.00 s vs t16 51.20 s"), out4.takeRight(400))
+    val out5 = Bench.mergeBaseline(Some(out4), record(0.50, "| q1_agg | 0.5 |"),
+      0.50, 0.1, 0.2, rps32 = 1L, t8 = 80.0, t32 = 40.0,
+      t4 = 210.0, t16 = 50.0, eff416 = 1.05, steal4 = 0.0, steal16 = 0.0)
+    assert(out5.contains("**0.820** efficiency 4 -> 16 cores"),
+      "superlinear mid pair must be rejected: " + out5.takeRight(400))
+    assert("Mid pair record:".r.findAllIn(out5).size == 1, out5)
+  }
+
   // realistic worst-width scaling block (large rows, 3-digit walls) —
   // mirrors Bench.scalingStdout's key set (rounds/storage_rps32/rps8/
   // components live only in BENCH/last_run.json)
   private val scalingBlock =
     """{"t8":114.75,"t32":46.35,""" +
     """"rps32":4315000,"efficiency":0.619,""" +
-    """"st8":0.4,"st32":1.2,"t2":312.44,"eff28":0.803,"st2":0.1}"""
+    """"st8":0.4,"st32":1.2,"t2":312.44,"eff28":0.803,"st2":0.1,""" +
+    """"eff416":0.769}"""
 
   test("driver stdout line stays inside the tail-capture budget at ANY suite size") {
     // BENCH_r03: an oversized final line gives rc=0 + parsed:null — the
