@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.unique.SaltedUniqueness
 import graft.ref.ReferentialCheck
-import graft.drift.DriftCheck
+import graft.drift.{DriftCheck, SourceAnomaly}
 import graft.ckpt.Checkpoint
 import graft.stats.{HistogramSketch, SkewAudit}
 
@@ -142,7 +142,6 @@ class PassesSpec extends SparkTestBase {
   }
 
   test("source anomaly: shifted source flags alone, TV bounded, single-source is null") {
-    import graft.drift.SourceAnomaly
     // 4 sources × 500 rows, uniform pseudo-values in [0, 512); srcX shifted
     // fully out of band (+512) — disjoint support, TV must be ~1000
     val base = spark.range(0L, 2000L, 1L, 8).select(
@@ -167,5 +166,30 @@ class PassesSpec extends SparkTestBase {
       base.filter(col("source") === "src0").withColumn("v", col("v0")),
       "v", "source", 128L).collect()
     assert(one.length === 1 && one.head.isNullAt(2) && !one.head.getBoolean(3))
+  }
+
+  test("source anomaly under 90/10 skew: a dominant clean source never flags, a tiny shifted one does") {
+    // one source carries 90% of the corpus; a 5%-sized source is shifted
+    // out of band. Leave-one-out must keep the giant clean (its complement
+    // is mostly the other clean mass + the small shifted slice) and still
+    // flag the small one at TV ~ 1000.
+    val df = spark.range(0L, 10000L, 1L, 8).select(
+      when(pmod(col("id"), lit(20L)) < 18L, lit("giant"))
+        .when(pmod(col("id"), lit(20L)) === 18L, lit("ok_small"))
+        .otherwise(lit("broken_small")).as("source"),
+      pmod(col("id") * 40503L + 17L, lit(512L)).as("v0"))
+      .withColumn("v",
+        col("v0") + when(col("source") === "broken_small", 512L).otherwise(0L))
+    val bySrc = SourceAnomaly.tvPerSource(df, "v", "source", 128L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(bySrc("broken_small")._1 === 1000L && bySrc("broken_small")._2)
+    assert(!bySrc("giant")._2,
+      s"dominant clean source flagged: TV ${bySrc("giant")._1}")
+    assert(!bySrc("ok_small")._2,
+      s"small clean source flagged: TV ${bySrc("ok_small")._1}")
+    // the giant's complement is 1/2 shifted mass (5% of corpus = half of
+    // its 10% complement): TV ≈ 500, sitting just under the 600 gate by
+    // design — assert the margin is real, not accidental
+    assert(bySrc("giant")._1 <= 520L, s"giant TV ${bySrc("giant")._1}")
   }
 }
