@@ -324,6 +324,24 @@ object OracleSql {
       |             / (CAST(max(n0) AS DOUBLE) * CAST(max(n1) AS DOUBLE)), 6) AS emd
       |FROM c""".stripMargin,
 
+    // PSI mirror: same two-epoch width-32 histogram as drift_emd; Laplace
+    // smoothing (c+1)/(n+B) is exact integer arithmetic until the single
+    // division, ln is the natural log in both engines, rounded 6 dp.
+    "drift_psi" -> s"""WITH $Base,
+      |h AS (SELECT CAST(floor(n_tok0 / 32.0) AS INTEGER) AS bucket,
+      |             sum(CASE WHEN orig % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+      |             sum(CASE WHEN orig % 2 = 1 THEN 1 ELSE 0 END) AS c1
+      |      FROM base GROUP BY 1),
+      |t AS (SELECT sum(c0) AS n0, sum(c1) AS n1, count(*) AS nb FROM h),
+      |p AS (SELECT CAST(c0 + 1 AS DOUBLE) / (n0 + nb) AS p0,
+      |             CAST(c1 + 1 AS DOUBLE) / (n1 + nb) AS p1,
+      |             n0, n1, nb
+      |      FROM h, t)
+      |SELECT round(sum((p0 - p1) * ln(p0 / p1)), 6) AS psi,
+      |       CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+      |       CAST(max(nb) AS BIGINT) AS buckets
+      |FROM p""".stripMargin,
+
     // P59: leave-one-out TV permille per source — the planted +512 shift
     // on src1, the bucketing, the densified source×bucket grid, the
     // HUGEINT numerator and the floor division are all mirrored exactly
@@ -607,6 +625,39 @@ object OracleSql {
       |SELECT doc_a, doc_b, jac FROM nd_pairs ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" -> DedupRecallReport,
+
+    // One-sided containment mirror: snippet plant, word 3-gram shingles,
+    // the df<=100 inverted-index candidate gate and the exact
+    // containment-over-min verify are all reproduced formula-for-formula
+    // (the df cap is part of the certified semantics, not noise).
+    "dedup_containment" -> """WITH ct_corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id,
+      |         array_to_string(list_slice(
+      |           regexp_split_to_array(trim(text), '\s+'), 1, 12), ' ') AS text
+      |  FROM documents WHERE doc_id % 25 = 3),
+      |ct_w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |         FROM ct_corpus),
+      |ct_sh AS (SELECT doc_id, list_distinct(list_transform(
+      |            range(0, greatest(len(ws) - 2, 0)),
+      |            j -> ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3])) AS sh
+      |          FROM ct_w),
+      |ct_ne AS (SELECT doc_id, sh FROM ct_sh WHERE len(sh) > 0),
+      |ct_ex AS (SELECT doc_id, unnest(sh) AS g FROM ct_ne),
+      |ct_keep AS (SELECT g FROM ct_ex GROUP BY g HAVING count(*) <= 100),
+      |ct_idx AS (SELECT e.doc_id, e.g FROM ct_ex e JOIN ct_keep k USING (g)),
+      |ct_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |            FROM ct_idx a JOIN ct_idx b
+      |              ON a.g = b.g AND a.doc_id < b.doc_id),
+      |ct_pairs AS (SELECT c.doc_a, c.doc_b,
+      |               round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |                     / least(len(x.sh), len(y.sh)), 6) AS cont
+      |             FROM ct_cand c
+      |             JOIN ct_ne x ON c.doc_a = x.doc_id
+      |             JOIN ct_ne y ON c.doc_b = y.doc_id)
+      |SELECT doc_a, doc_b, cont FROM ct_pairs
+      |WHERE cont >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
 
     // Leakage audit mirror: exact all-pairs nd_pairs (certified equal to
     // the engine's LSH pipeline by dedup_ngram_jaccard) + the sampleBucket

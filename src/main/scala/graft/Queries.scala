@@ -356,6 +356,16 @@ object Queries {
         "n_tok", "epoch", 32L),
       bucketWidth = 32L)
 
+  /** Population Stability Index over the same two-epoch n_tok histogram as
+    * drift_stats/drift_emd — the third drift lens (per-bucket symmetric-KL
+    * mass reshaping vs KS's CDF gap vs EMD's transport cost).
+    */
+  def driftPsi(s: SparkSession, dir: String): DataFrame =
+    DriftCheck.psi(
+      DriftCheck.histogram(
+        clean(s, dir).withColumn("epoch", pmod(col("orig"), lit(2L))),
+        "n_tok", "epoch", 32L))
+
   /** P60: violation exemplars — ≤3 example rows PER CONSTRAINT for the
     * human report ("show me a few offending rows"), the bounded version of
     * dumping the full violation table a 10^12-row run cannot ship. The
@@ -615,6 +625,28 @@ object Queries {
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), "text", "doc_id", 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Corpus with planted doc-in-doc snippets: every 25th doc (mod-class 3)
+    * contributes a 12-word prefix excerpt under id+300000 — containment
+    * ≈ 1.0 against its source but Jaccard ≈ 10/|source shingles|, far
+    * below symmetric thresholds, i.e. exactly the pair class the
+    * MinHash pipeline is structurally blind to.
+    */
+  private def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(pmod(col("doc_id"), lit(25L)) === 3L)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ").as("text")))
+  }
+
+  /** One-sided containment near-dup pairs over the snippet-planted corpus;
+    * the oracle mirrors the df-capped inverted-index candidate generation
+    * and exact containment verify formula-for-formula.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(containmentCorpus(s, dir), "text", "doc_id", 0.9, dfCap = 100)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Planted/organic classification of found pairs: (doc_a, doc_b) is

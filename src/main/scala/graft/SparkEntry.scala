@@ -40,6 +40,7 @@ object SparkEntry {
     "drift_stats" -> (Queries.driftStats _),
     "drift_gate" -> (Queries.driftGate _),
     "drift_emd" -> (Queries.driftEmd _),
+    "drift_psi" -> (Queries.driftPsi _),
     "source_anomaly" -> (Queries.sourceAnomaly _),
     "violation_examples" -> (Queries.violationExamples _),
     "hist_udaf" -> (Queries.histUdaf _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "dedup_exemplars" -> (Queries.dedupExemplars _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
+    "dedup_containment" -> (Queries.dedupContainment _),
     "lsh_screen" -> (Queries.lshScreen _),
     "url_canon" -> (Queries.urlCanon _),
     "key_skew" -> (Queries.keySkewAudit _),

@@ -197,6 +197,58 @@ object Dedup {
       .select(col("doc_hist"), col("doc_new"), col("jac"))
   }
 
+  /** One-sided shingle CONTAINMENT near-dup pairs:
+    * C(A,B) = |sh(A) ∩ sh(B)| / min(|sh(A)|, |sh(B)|) ≥ tau.
+    *
+    * The asymmetric twin of [[minhashLshPairs]]: a short snippet quoted
+    * inside a long page has containment ≈ 1.0 but Jaccard ≈ |snippet| /
+    * |page| — far below any symmetric threshold, and MinHash banding's
+    * per-pair collision probability collapses with the Jaccard, so the
+    * symmetric pipeline is structurally blind to doc-in-doc duplication
+    * (the dominant web-corpus contamination mode: quotes, mirrors with
+    * boilerplate, syndicated excerpts).
+    *
+    * Candidate generation is an inverted shingle index with a document-
+    * frequency cap: explode (doc, shingle-hash), ONE hash aggregate
+    * collects each shingle's posting list, lists longer than `dfCap` are
+    * dropped (a shingle shared by thousands of docs is boilerplate, not
+    * containment evidence — and its posting list would emit df² candidate
+    * pairs: the quadratic hot-key bomb), surviving lists emit their ≤dfCap²
+    * member pairs directly. Shuffle volume is O(shingle occurrences) for
+    * the index pass and O(Σ df²| df≤cap) for pairs — both linear-ish in
+    * corpus size with the cap in place. The df cap is a RECALL TRADE
+    * (a pair whose every shared shingle is boilerplate goes undetected);
+    * the DuckDB oracle mirrors the cap exactly, so the gate certifies the
+    * capped semantics, not an approximation of uncapped ones.
+    * Verification computes exact containment on the full (hashed) shingle
+    * sets of surviving candidates only. Returns (doc_a, doc_b, cont) with
+    * doc_a < doc_b and cont ≥ tau.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       tau: Double, dfCap: Int = 100): DataFrame = {
+    val t = withShingles(df, textCol, idCol)
+    val postings = t
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .groupBy(col("gh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= dfCap)
+    val cand = postings
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val th = hashedShingles(t)
+    cand
+      .join(th.select(col("doc_id").as("doc_a"), col("shh").as("sha"), col("sz").as("sza")), Seq("doc_a"))
+      .join(th.select(col("doc_id").as("doc_b"), col("shh").as("shb"), col("sz").as("szb")), Seq("doc_b"))
+      .withColumn("cont",
+        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          least(col("sza"), col("szb")), 6))
+      .filter(col("cont") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("cont"))
+  }
+
   // ---------- embedding cosine ----------
 
   /** Embedding-cosine near-dup pairs: multi-band hyperplane-LSH bucket

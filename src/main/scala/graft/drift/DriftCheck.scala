@@ -76,6 +76,41 @@ object DriftCheck {
     * Input/scale shape: same as ksChi2 — runs over the ≤ #buckets
     * histogram frame, never the data.
     */
+  /** Population Stability Index between the two epochs' bucket
+    * distributions — the monitoring-dashboard drift number (industry rule
+    * of thumb: <0.1 stable, 0.1–0.25 moderate, >0.25 shifted). Unlike KS
+    * (largest CDF gap) and EMD (mass transport), PSI is a per-bucket
+    * symmetric KL sum, so it flags a reshaped distribution even when the
+    * CDF crossings cancel.
+    *
+    * Empty buckets are Laplace-smoothed — p_e(b) = (c_e(b)+1)/(n_e+B) with
+    * B the observed bucket count — so a bucket present in only one epoch
+    * contributes a finite term instead of ±∞; the smoothing is exact
+    * integer arithmetic until the final division, making the statistic
+    * deterministic under any partitioning. Scale shape: same as ksChi2 —
+    * all math runs over the ≤ #buckets histogram frame, never the data.
+    *
+    * Returns one row (psi:double rounded 6dp, n0:long, n1:long,
+    * buckets:long).
+    */
+  def psi(hist: DataFrame): DataFrame = {
+    val perBucket = hist.groupBy(col("bucket")).agg(
+      sum(when(col("epoch") === 0, col("cnt")).otherwise(0L)).as("c0"),
+      sum(when(col("epoch") === 1, col("cnt")).otherwise(0L)).as("c1"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perBucket
+      .withColumn("n0", sum(col("c0")).over(wAll))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("nb", count(lit(1)).over(wAll))
+      .withColumn("p0", (col("c0") + 1).cast("double") / (col("n0") + col("nb")))
+      .withColumn("p1", (col("c1") + 1).cast("double") / (col("n1") + col("nb")))
+      .agg(
+        round(sum((col("p0") - col("p1")) * log(col("p0") / col("p1"))), 6).as("psi"),
+        max(col("n0")).as("n0"),
+        max(col("n1")).as("n1"),
+        max(col("nb")).as("buckets"))
+  }
+
   def emd(hist: DataFrame, bucketWidth: Long): DataFrame = {
     val perBucket = hist.groupBy(col("bucket")).agg(
       sum(when(col("epoch") === 0, col("cnt")).otherwise(0L)).as("c0"),

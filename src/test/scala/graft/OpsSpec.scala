@@ -97,6 +97,40 @@ class OpsSpec extends SparkTestBase {
     assert(want.subsetOf(pairs), s"missing planted: ${want -- pairs}")
   }
 
+  test("containment: planted snippet-in-doc pairs found at cont=1.0; " +
+    "symmetric Jaccard pipeline misses them") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 8)
+        .select((col("doc_id") + 2000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ").as("text")))
+    val pairs = Dedup.containmentPairs(corpus, "text", "doc_id", 0.9)
+      .select("doc_a", "doc_b", "cont").as[(Long, Long, Double)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val planted = (0L until 8L).map(i => (i, i + 2000L)).toSet
+    assert(planted.subsetOf(found), s"missing: ${planted -- found}")
+    // a full-prefix excerpt is wholly contained in its source
+    assert(pairs.filter(p => planted((p._1, p._2))).forall(_._3 === 1.0))
+    // the same pairs are invisible to the symmetric Jaccard pipeline at
+    // any threshold above the snippet/doc shingle ratio
+    val sym = Dedup.minhashLshPairs(corpus, "text", "doc_id", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(planted.intersect(sym).isEmpty)
+  }
+
+  test("containment df cap drops boilerplate-only evidence (skew safety) and is mirrored recall") {
+    // 30 docs sharing ONE boilerplate sentence (plus unique tails): with
+    // dfCap=10 the shared shingles' posting lists are dropped, so no
+    // candidate pairs survive — the quadratic hot-key bomb is defused.
+    val boiler = "terms of service apply to all content on this site"
+    val rows = (0 until 30).map(i => (i.toLong, s"$boiler unique tail $i payload $i"))
+    val df = rows.toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(df, "text", "doc_id", 0.5, dfCap = 10)
+    assert(capped.count() === 0)
+    // with the cap above the group size the same pairs ARE evidence
+    val uncapped = Dedup.containmentPairs(df, "text", "doc_id", 0.5, dfCap = 100)
+    assert(uncapped.count() > 0)
+  }
+
   test("simhash pairs find planted near-dups with small hamming") {
     val corpus = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") < 10)

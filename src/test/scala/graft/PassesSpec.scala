@@ -75,6 +75,20 @@ class PassesSpec extends SparkTestBase {
     assert(r2.getDouble(1) > 100.0)
   }
 
+  test("psi: identical epochs → 0, shifted epochs → >0.25, partitioning-invariant") {
+    val same = spark.range(0L, 2000L, 1L, 4)
+      .select(pmod(col("id"), lit(2L)).as("epoch"), pmod(col("id"), lit(100L)).as("v"))
+    val r = DriftCheck.psi(DriftCheck.histogram(same, "v", "epoch", 10L)).head()
+    assert(r.getDouble(0) === 0.0) // both epochs see each bucket equally
+    val shifted = spark.range(0L, 2000L, 1L, 4)
+      .select(pmod(col("id"), lit(2L)).as("epoch"),
+        (pmod(col("id"), lit(100L)) + pmod(col("id"), lit(2L)) * 50L).as("v"))
+    val r2 = DriftCheck.psi(DriftCheck.histogram(shifted, "v", "epoch", 10L)).head()
+    assert(r2.getDouble(0) > 0.25) // industry "shifted" threshold
+    val r2b = DriftCheck.psi(DriftCheck.histogram(shifted.repartition(13), "v", "epoch", 10L)).head()
+    assert(r2 === r2b)
+  }
+
   test("drift statistics are partitioning-invariant") {
     def df(p: Int) = spark.range(0L, 3000L, 1L, p)
       .select(pmod(col("id"), lit(2L)).as("epoch"), pmod(col("id") * 7L, lit(997L)).as("v"))
