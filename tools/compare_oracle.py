@@ -11,6 +11,12 @@ import sys, json, math
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+# GRAFT_ORACLE_SKIP: comma-separated query names whose DuckDB oracle is
+# infeasible at the chosen SF (e.g. the recursive reachability CTE over
+# all-pairs ground truth at sf0.1) — they are certified at the driver's
+# sf0.01 gate scale; a skip here only narrows the EXTRA-assurance sweep.
+import os
+skip = set(filter(None, os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")))
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -34,6 +40,9 @@ def canon(rows, cols):
 
 fails = []
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        print(f"SKIP {name} (GRAFT_ORACLE_SKIP)")
+        continue
     try:
         spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         scols, srows = spark_rel.columns, spark_rel.fetchall()
