@@ -89,6 +89,23 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("containment dominates Jaccard: every symmetric near-dup pair is a containment pair") {
+    // C(A,B) = |∩|/min ≥ |∩|/|∪| = J(A,B), and with dfCap ≥ ndocs the
+    // inverted-index candidates are a superset of any pair sharing one
+    // shingle — so at equal thresholds the containment pass must emit a
+    // SUPERSET of the exact-Jaccard pipeline's pairs on any corpus.
+    (1 to 2).foreach { t =>
+      val words = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+      val texts = sample(Gen.listOfN(40, Gen.listOfN(12, words).map(_.mkString(" "))), 31L * t)
+      val df = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+      val jac = graft.dedup.Dedup.ngramJaccardPairs(df, "text", "doc_id", 0.4)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val cont = graft.dedup.Dedup.containmentPairs(df, "text", "doc_id", 0.4, dfCap = 1000)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(jac.subsetOf(cont), s"jaccard pairs missing from containment: ${jac -- cont}")
+    }
+  }
+
   test("stats pass is permutation- and partitioning-invariant") {
     val ns = sample(Gen.listOfN(300, Gen.choose(0, 5000)), 99L)
     def stats(xs: Seq[Int], parts: Int) =
