@@ -95,6 +95,25 @@ object ScalingProbe {
             }
           }.toDF("doc_id", "cnt").count()
       },
+      "uniqueSort" -> { s: SparkSession =>
+        // SORT-BASED dup detection probe: the hash path's reducer-side is a
+        // per-partition hash map with RANDOM DRAM access (the measured
+        // 32-thread scaling killer); this formulation shuffles the same
+        // 8-byte xxhash64 keys but detects duplicates as EQUAL-ADJACENT
+        // after an in-partition radix sort — sequential passes instead of
+        // random probes. Declarative one-shuffle shape: the window
+        // partitions by the SAME pmod expression the repartition used, so
+        // EnsureRequirements adds no second exchange (only the sort the
+        // window needs anyway). Counts extra occurrences, the same work as
+        // dup detection.
+        val parts = shufPartsOf(s.sparkContext.defaultParallelism)
+        val grp = pmod(col("h"), lit(parts.toLong))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(grp).orderBy(col("h"))
+        input(s).select(xxhash64(col("doc_id")).as("h"))
+          .repartition(parts, grp)
+          .withColumn("dup", col("h") === lag(col("h"), 1).over(w))
+          .filter(col("dup")).count()
+      },
       "uniqueSalt" -> { s: SparkSession =>
         // explicit two-stage salted form (two full shuffles in the
         // mostly-distinct regime — kept as the control)
