@@ -171,6 +171,18 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("containment: inverted-index pipeline is key-equality joins only, posting agg once") {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val plan = planString(graft.dedup.Dedup.containmentPairs(d, "text", "doc_id", 0.9))
+    // candidate generation must never degrade to a pair product: every join
+    // is a key-equality hash join (broadcast at toy SF, shuffle at scale)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the posting-list build is ONE two-phase aggregate over the exploded
+    // shingles (partial + final ObjectHashAggregate around one exchange)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("bucketed co-located join runs with ZERO exchange under the join") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     val lt = graft.io.Bucketed.table(
