@@ -626,6 +626,69 @@ object OracleSql {
 
     "dedup_minhash_lsh" -> DedupRecallReport,
 
+    // Token-level duplicated-span coverage: the planted-span variant (sp —
+    // mirrors SyntheticTokens.spanned), 8-gram starts via per-row unnest,
+    // grams in >=2 distinct docs, and the sorted-starts interval-union
+    // coverage formula — all reproduced exactly, including natural
+    // collisions of the linear token generator.
+    "dedup_span" -> s"""WITH $Seqs,
+      |sp AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN orig % 50 IN (11, 12, 13) AND n_tok >= 64
+      |      THEN tokens[1:16]
+      |        || list_transform(range(0, 32),
+      |             i -> CAST((i*1009 + 13) % 32768 AS INTEGER))
+      |        || tokens[49:n_tok]
+      |      ELSE tokens END AS tokens
+      |  FROM seqs),
+      |st AS (SELECT doc_id, tokens,
+      |         unnest(range(1, CAST(n_tok AS BIGINT) - 6)) AS start
+      |       FROM sp WHERE n_tok >= 8),
+      |occ AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+      |          array_to_string(tokens[start:start+7], ' ') AS g
+      |        FROM st),
+      |dm AS (SELECT g, doc_id FROM occ GROUP BY 1, 2),
+      |dup AS (SELECT g FROM dm GROUP BY g HAVING count(*) >= 2),
+      |docc AS (SELECT o.doc_id, o.start,
+      |           lead(o.start) OVER (PARTITION BY o.doc_id ORDER BY o.start) AS nxt
+      |         FROM occ o JOIN dup USING (g)),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+      |          CAST(sum(CASE WHEN nxt IS NULL THEN 8
+      |                        ELSE least(8, nxt - start) END) AS BIGINT) AS dup_cov
+      |        FROM docc GROUP BY 1)
+      |SELECT s.doc_id, s.n_tok,
+      |  coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+      |  coalesce(a.dup_cov, 0) AS dup_cov,
+      |  CASE WHEN s.n_tok > 0
+      |    THEN CAST(floor(1000 * coalesce(a.dup_cov, 0) / s.n_tok) AS BIGINT)
+      |    ELSE 0 END AS dup_permille
+      |FROM sp s LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin,
+
+    "span_hot" -> s"""WITH $Seqs,
+      |sp AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN orig % 50 IN (11, 12, 13) AND n_tok >= 64
+      |      THEN tokens[1:16]
+      |        || list_transform(range(0, 32),
+      |             i -> CAST((i*1009 + 13) % 32768 AS INTEGER))
+      |        || tokens[49:n_tok]
+      |      ELSE tokens END AS tokens
+      |  FROM seqs),
+      |st AS (SELECT doc_id, tokens,
+      |         unnest(range(1, CAST(n_tok AS BIGINT) - 6)) AS start
+      |       FROM sp WHERE n_tok >= 8),
+      |occ AS (SELECT doc_id,
+      |          array_to_string(tokens[start:start+7], ' ') AS g
+      |        FROM st),
+      |dm AS (SELECT g, doc_id, CAST(count(*) AS BIGINT) AS m
+      |       FROM occ GROUP BY 1, 2)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(m) AS BIGINT) AS n_occ
+      |FROM dm GROUP BY g HAVING count(*) >= 2
+      |ORDER BY n_occ DESC, n_docs DESC, g
+      |LIMIT 20""".stripMargin,
+
     // One-sided containment mirror: snippet plant, word 3-gram shingles,
     // the df<=100 inverted-index candidate gate and the exact
     // containment-over-min verify are all reproduced formula-for-formula

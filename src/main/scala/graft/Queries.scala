@@ -7,7 +7,7 @@ import graft.ckpt.Checkpoint
 import graft.compile.{ConstraintCompiler, Defaults}
 import graft.curate.{Curation, UrlCanon}
 import graft.constraint._
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SpanDedup}
 import graft.drift.{DriftCheck, SourceAnomaly}
 import graft.gen.SyntheticTokens
 import graft.io.Bucketed
@@ -648,6 +648,26 @@ object Queries {
   def dedupContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(containmentCorpus(s, dir), "text", "doc_id", 0.9, dfCap = 100)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Per-document cross-doc duplicated-span coverage (token-level
+    * exact-substring dedup signal) over the planted-span variant: docs in
+    * cls ∈ {11,12,13} with n_tok ≥ 64 share a verbatim 32-token block at
+    * positions 17..48, so each planted doc carries ≥ 25 duplicated 8-gram
+    * starts covering ≥ 32 positions; orig-seeded token streams also
+    * collide naturally (the token formula is linear mod 2^15), and the
+    * oracle computes the exact ground truth for both.
+    */
+  def dedupSpan(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.dupSpanCoverage(
+      SyntheticTokens.spannedFrom(s, dir), "doc_id", "tokens", 8)
+      .orderBy(col("doc_id"))
+
+  /** Top-20 repeated 8-token spans by occurrence count (deterministic
+    * total-order tiebreak), same planted-span corpus.
+    */
+  def spanHot(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.hotSpans(
+      SyntheticTokens.spannedFrom(s, dir), "doc_id", "tokens", 8, 20)
 
   /** Planted/organic classification of found pairs: (doc_a, doc_b) is
     * planted ⇔ doc_b = doc_a + 100000 (the near-dup plant). The oracle

@@ -74,6 +74,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_containment" -> (Queries.dedupContainment _),
+    "dedup_span" -> (Queries.dedupSpan _),
+    "span_hot" -> (Queries.spanHot _),
     "lsh_screen" -> (Queries.lshScreen _),
     "url_canon" -> (Queries.urlCanon _),
     "key_skew" -> (Queries.keySkewAudit _),

@@ -1,0 +1,115 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-level cross-document duplicated-span analysis — the
+  * exact-substring dedup signal (Lee et al., "Deduplicating Training Data
+  * Makes Language Models Better"): a verbatim k-token run appearing in two
+  * different documents marks memorization-prone duplicated text that
+  * near-dup document hashes (MinHash/SimHash over whole docs) miss when
+  * the surrounding text differs.
+  *
+  * Operates directly on the north-rule input shape
+  * (doc_id, tokens:array<int32>, n_tok) — no detokenization.
+  *
+  * Two outputs share one occurrence pipeline:
+  *   - [[dupSpanCoverage]]: per-document fraction of token POSITIONS
+  *     covered by at least one duplicated k-gram (the per-doc gate signal);
+  *   - [[hotSpans]]: the top repeated spans themselves (the "what is being
+  *     copied" report an operator reads before adding a filter rule).
+  *
+  * Scale shape: one explode to k-gram starts (k-1 extra rows per doc vs
+  * tokens, no k× token blowup — the gram key is built per START), then one
+  * gram-keyed (gram, doc) aggregate whose output is bounded by distinct
+  * (gram, doc) pairs, a gram-keyed count to find grams in ≥2 docs (only
+  * DUPLICATED grams survive the filter — a tiny frame on real corpora),
+  * and a gram-keyed join back of occurrences to that survivor set (AQE
+  * broadcasts it when small; unhinted so a pathological all-duplicated
+  * corpus still shuffles correctly). Coverage is a per-doc interval-union
+  * computed with ONE lead() window over start positions — never an
+  * explode of the k covered positions (that would be a k× row blowup on
+  * exactly the duplicated-heavy documents). At 100 TB the gram string key
+  * would be swapped for xxhash64 of the slice (shuffle key width: 8 bytes
+  * vs ~40); the string form is kept here so the DuckDB oracle can mirror
+  * the pipeline byte-for-byte (same trade as the hashed-shingle note in
+  * [[Dedup]]).
+  */
+object SpanDedup {
+
+  /** One row per k-gram start: (idCol, start (1-based, long), g).
+    * Docs shorter than k contribute nothing (callers left-join them back).
+    */
+  private def occurrences(seqs: DataFrame, idCol: String, tokCol: String,
+                          k: Int): DataFrame =
+    seqs.select(col(idCol), col(tokCol))
+      .filter(size(col(tokCol)) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(slice($tokCol, 1, size($tokCol) - ${k - 1}), " +
+          s"(x, i) -> array_join(transform(slice($tokCol, i + 1, $k), " +
+          "t -> CAST(t AS STRING)), ' '))")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("start"),
+        col("col").as("g"))
+
+  /** Grams that occur in ≥ 2 DISTINCT documents. Two-level aggregate
+    * (gram,doc) → gram instead of count(DISTINCT doc): no Expand blowup,
+    * and the first level also collapses within-doc repeats of a gram
+    * before the per-gram count.
+    */
+  private def duplicatedGrams(occ: DataFrame, idCol: String): DataFrame =
+    occ.groupBy(col("g"), col(idCol)).agg(count(lit(1)).as("_m"))
+      .groupBy(col("g")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("g"))
+
+  /** Per-document duplicated-span coverage: of the doc's n_tok token
+    * positions, how many lie inside at least one k-gram that also occurs
+    * verbatim in ANOTHER document. Output per doc (every doc appears, even
+    * those shorter than k):
+    *   n_dup_grams  — duplicated k-gram starts in this doc,
+    *   dup_cov      — token positions covered (union of [s, s+k-1]),
+    *   dup_permille — floor(1000 * dup_cov / n_tok).
+    *
+    * The interval union over sorted starts: each start contributes
+    * min(k, next_start - start), the last contributes k — exact for
+    * fixed-length intervals, one window pass.
+    */
+  def dupSpanCoverage(seqs: DataFrame, idCol: String, tokCol: String,
+                      k: Int): DataFrame = {
+    val occ = occurrences(seqs, idCol, tokCol, k)
+    val dupOcc = occ.join(duplicatedGrams(occ, idCol), Seq("g"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    val perDoc = dupOcc
+      .withColumn("_nxt", lead(col("start"), 1).over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(when(col("_nxt").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("_nxt") - col("start"))))
+          .as("dup_cov"))
+    seqs.select(col(idCol), col("n_tok"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_cov"), lit(0L)).as("dup_cov"))
+      .withColumn("dup_permille",
+        when(col("n_tok") > 0,
+          floor(lit(1000L) * col("dup_cov") / col("n_tok")))
+          .otherwise(lit(0L)).cast("long"))
+  }
+
+  /** Top repeated spans: duplicated k-grams ranked by total occurrence
+    * count (then doc count, then the gram itself — a total order, so the
+    * limit is deterministic). Output (g, n_docs, n_occ); TakeOrdered shape
+    * — the full gram aggregate never reaches the driver.
+    */
+  def hotSpans(seqs: DataFrame, idCol: String, tokCol: String, k: Int,
+               topK: Int): DataFrame =
+    occurrences(seqs, idCol, tokCol, k)
+      .groupBy(col("g"), col(idCol)).agg(count(lit(1)).as("_m"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_m")).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("g"))
+      .limit(topK)
+}

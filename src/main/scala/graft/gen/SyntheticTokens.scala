@@ -104,6 +104,41 @@ object SyntheticTokens {
         pmod(orig, lit(2L)).cast("int").as("epoch"))
   }
 
+  // Planted duplicated-span variant (dedup_span / span_hot): classes and
+  // geometry of the shared token block. Docs in cls ∈ {11,12,13} with
+  // n_tok ≥ SpanMinLen get positions [SpanPrefix+1, SpanPrefix+SpanLen]
+  // overwritten with a doc-INDEPENDENT block c_i = (i*SpanA + SpanB) % Vocab
+  // — so those docs share a verbatim 32-token run while every other token
+  // stays orig-seeded (boundary k-grams differ per doc by construction).
+  val SpanClasses = Seq(11L, 12L, 13L)
+  val SpanMinLen = 64L
+  val SpanPrefix = 16
+  val SpanLen = 32
+  val SpanA = 1009L
+  val SpanB = 13L
+
+  /** Clean sequences with the planted shared span (same shape + `orig`).
+    * Pure column arithmetic, mirrored formula-for-formula by the DuckDB
+    * oracle (OracleSql `sp` CTE).
+    */
+  def spanned(documents: DataFrame): DataFrame = {
+    val base = clean(documents)
+    val common = expr(
+      s"transform(sequence(0, ${SpanLen - 1}), i -> CAST((i * $SpanA + $SpanB) % $Vocab AS INT))")
+    base.withColumn("tokens",
+      when(pmod(col("orig"), lit(ClassMod)).isin(SpanClasses: _*) &&
+        col("n_tok") >= SpanMinLen,
+        concat(
+          slice(col("tokens"), 1, SpanPrefix),
+          common,
+          slice(col("tokens"), lit(SpanPrefix + SpanLen + 1),
+            col("n_tok") - (SpanPrefix + SpanLen))))
+        .otherwise(col("tokens")))
+  }
+
+  def spannedFrom(spark: SparkSession, sfDir: String): DataFrame =
+    spanned(readDocuments(spark, sfDir))
+
   /** Sources dimension (broadcast side of the referential check):
     * distinct sources of the CLEAN documents + a deterministic weight.
     */

