@@ -52,6 +52,27 @@ object OracleSql {
 
   private val DirtyAndSeqs = Dirty + ",\n" + SeqsCte
 
+  /** Planted-span corpus (mirrors SyntheticTokens.spanned) + 8-gram start
+    * occurrences — shared by the dedup_span / span_hot / span_trim family.
+    */
+  private val SpanOcc = Seqs +
+    """,
+      |sp AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN orig % 50 IN (11, 12, 13) AND n_tok >= 64
+      |      THEN tokens[1:16]
+      |        || list_transform(range(0, 32),
+      |             i -> CAST((i*1009 + 13) % 32768 AS INTEGER))
+      |        || tokens[49:n_tok]
+      |      ELSE tokens END AS tokens
+      |  FROM seqs),
+      |st AS (SELECT doc_id, tokens,
+      |         unnest(range(1, CAST(n_tok AS BIGINT) - 6)) AS start
+      |       FROM sp WHERE n_tok >= 8),
+      |occ AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+      |          array_to_string(tokens[start:start+7], ' ') AS g
+      |        FROM st)""".stripMargin
+
   /** Per-row violation-count expression over `dirty` (mirrors the compiled
     * row-constraint suite of TokenSchema.sequences, including the
     * never-firing width/required terms, which add 0).
@@ -631,23 +652,10 @@ object OracleSql {
     // grams in >=2 distinct docs, and the sorted-starts interval-union
     // coverage formula — all reproduced exactly, including natural
     // collisions of the linear token generator.
-    "dedup_span" -> s"""WITH $Seqs,
-      |sp AS (
-      |  SELECT doc_id, n_tok,
-      |    CASE WHEN orig % 50 IN (11, 12, 13) AND n_tok >= 64
-      |      THEN tokens[1:16]
-      |        || list_transform(range(0, 32),
-      |             i -> CAST((i*1009 + 13) % 32768 AS INTEGER))
-      |        || tokens[49:n_tok]
-      |      ELSE tokens END AS tokens
-      |  FROM seqs),
-      |st AS (SELECT doc_id, tokens,
-      |         unnest(range(1, CAST(n_tok AS BIGINT) - 6)) AS start
-      |       FROM sp WHERE n_tok >= 8),
-      |occ AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
-      |          array_to_string(tokens[start:start+7], ' ') AS g
-      |        FROM st),
-      |dm AS (SELECT g, doc_id FROM occ GROUP BY 1, 2),
+    // NOTE: SpanOcc is interpolated OUTSIDE the triple-quoted template —
+    // interpolating it inside would re-run stripMargin over its `||` list
+    // concatenations (whitespace + leading pipe) and eat one pipe.
+    "dedup_span" -> (s"WITH $SpanOcc,\n" + """dm AS (SELECT g, doc_id FROM occ GROUP BY 1, 2),
       |dup AS (SELECT g FROM dm GROUP BY g HAVING count(*) >= 2),
       |docc AS (SELECT o.doc_id, o.start,
       |           lead(o.start) OVER (PARTITION BY o.doc_id ORDER BY o.start) AS nxt
@@ -663,31 +671,50 @@ object OracleSql {
       |    THEN CAST(floor(1000 * coalesce(a.dup_cov, 0) / s.n_tok) AS BIGINT)
       |    ELSE 0 END AS dup_permille
       |FROM sp s LEFT JOIN agg a USING (doc_id)
-      |ORDER BY doc_id""".stripMargin,
+      |ORDER BY doc_id""".stripMargin),
 
-    "span_hot" -> s"""WITH $Seqs,
-      |sp AS (
-      |  SELECT doc_id, n_tok,
-      |    CASE WHEN orig % 50 IN (11, 12, 13) AND n_tok >= 64
-      |      THEN tokens[1:16]
-      |        || list_transform(range(0, 32),
-      |             i -> CAST((i*1009 + 13) % 32768 AS INTEGER))
-      |        || tokens[49:n_tok]
-      |      ELSE tokens END AS tokens
-      |  FROM seqs),
-      |st AS (SELECT doc_id, tokens,
-      |         unnest(range(1, CAST(n_tok AS BIGINT) - 6)) AS start
-      |       FROM sp WHERE n_tok >= 8),
-      |occ AS (SELECT doc_id,
-      |          array_to_string(tokens[start:start+7], ' ') AS g
-      |        FROM st),
-      |dm AS (SELECT g, doc_id, CAST(count(*) AS BIGINT) AS m
+    "span_hot" -> (s"WITH $SpanOcc,\n" + """dm AS (SELECT g, doc_id, CAST(count(*) AS BIGINT) AS m
       |       FROM occ GROUP BY 1, 2)
       |SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(m) AS BIGINT) AS n_occ
       |FROM dm GROUP BY g HAVING count(*) >= 2
       |ORDER BY n_occ DESC, n_docs DESC, g
-      |LIMIT 20""".stripMargin,
+      |LIMIT 20""".stripMargin),
+
+    // Canonical-owner trim mirror: min-doc ownership on the (gram,doc)
+    // aggregate, non-owner occurrences merged gaps-and-islands style
+    // (new island when start > running max(end) + 1), island slice-sums
+    // subtracted from the doc total — kept_sum certifies WHICH positions
+    // survived without emitting arrays.
+    "span_trim" -> (s"WITH $SpanOcc,\n" + """dm AS (SELECT g, doc_id FROM occ GROUP BY 1, 2),
+      |own AS (SELECT g, min(doc_id) AS owner
+      |        FROM dm GROUP BY g HAVING count(*) >= 2),
+      |rem AS (SELECT o.doc_id, o.start, o.start + 7 AS fin
+      |        FROM occ o JOIN own w USING (g) WHERE o.doc_id <> w.owner),
+      |i0 AS (SELECT doc_id, start, fin,
+      |         max(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |       FROM rem),
+      |i1 AS (SELECT doc_id, start, fin,
+      |         CASE WHEN pmax IS NULL OR start > pmax + 1 THEN 1 ELSE 0 END AS nw
+      |       FROM i0),
+      |i2 AS (SELECT doc_id, start, fin,
+      |         sum(nw) OVER (PARTITION BY doc_id ORDER BY start, fin
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |       FROM i1),
+      |isl AS (SELECT doc_id, isl, min(start) AS a, max(fin) AS b
+      |        FROM i2 GROUP BY 1, 2),
+      |sums AS (SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+      |           CAST(sum(i.b - i.a + 1) AS BIGINT) AS n_removed,
+      |           CAST(sum(CAST(list_sum(s.tokens[i.a:i.b]) AS BIGINT)) AS BIGINT) AS rsum
+      |         FROM isl i JOIN sp s USING (doc_id) GROUP BY 1),
+      |tot AS (SELECT doc_id, n_tok, CAST(list_sum(tokens) AS BIGINT) AS t FROM sp)
+      |SELECT t.doc_id, t.n_tok,
+      |  coalesce(m.n_islands, 0) AS n_islands,
+      |  coalesce(m.n_removed, 0) AS n_removed,
+      |  t.t - coalesce(m.rsum, 0) AS kept_sum
+      |FROM tot t LEFT JOIN sums m USING (doc_id)
+      |ORDER BY doc_id""".stripMargin),
 
     // One-sided containment mirror: snippet plant, word 3-gram shingles,
     // the df<=100 inverted-index candidate gate and the exact

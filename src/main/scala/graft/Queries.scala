@@ -669,6 +669,15 @@ object Queries {
     SpanDedup.hotSpans(
       SyntheticTokens.spannedFrom(s, dir), "doc_id", "tokens", 8, 20)
 
+  /** Canonical-owner span removal summary: min-doc owner keeps each
+    * duplicated 8-gram, everyone else's occurrences merge into maximal
+    * removed runs; kept_sum checksums exactly which positions survive.
+    */
+  def spanTrim(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.trimSummary(
+      SyntheticTokens.spannedFrom(s, dir), "doc_id", "tokens", 8)
+      .orderBy(col("doc_id"))
+
   /** Planted/organic classification of found pairs: (doc_a, doc_b) is
     * planted ⇔ doc_b = doc_a + 100000 (the near-dup plant). The oracle
     * predicts the counts from all-pairs exact Jaccard — planted_missed must

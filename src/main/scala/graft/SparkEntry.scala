@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_containment" -> (Queries.dedupContainment _),
     "dedup_span" -> (Queries.dedupSpan _),
     "span_hot" -> (Queries.spanHot _),
+    "span_trim" -> (Queries.spanTrim _),
     "lsh_screen" -> (Queries.lshScreen _),
     "url_canon" -> (Queries.urlCanon _),
     "key_skew" -> (Queries.keySkewAudit _),

@@ -98,6 +98,69 @@ object SpanDedup {
           .otherwise(lit(0L)).cast("long"))
   }
 
+  /** Duplicated-span TRIM summary — the action counterpart of
+    * [[dupSpanCoverage]]: every duplicated k-gram keeps exactly ONE
+    * canonical copy (the min-doc_id owner — a total order, so ownership
+    * is deterministic and engine-independent) and every other occurrence
+    * is marked for removal. Removed positions are reported as MAXIMAL
+    * runs (gaps-and-islands over the sorted removal intervals: a new
+    * island starts when start > running_max(end) + 1, i.e. adjacent runs
+    * merge), and the rewrite is certified WITHOUT emitting token arrays:
+    * kept_sum = sum(tokens) − Σ island slice-sums, which pins exactly
+    * WHICH positions survived (same checksum idiom as seq_synth).
+    *
+    * Output per doc (all docs appear): n_tok, n_islands, n_removed,
+    * kept_sum.
+    *
+    * Scale shape: the occurrence/duplicated-gram pipeline of
+    * [[dupSpanCoverage]]; ownership is a min carried on the same
+    * (gram,doc)→gram aggregate (no extra pass); non-owner occurrences —
+    * bounded by the DUPLICATED volume, not the corpus — flow through one
+    * per-doc window (running max end → island ids) and one
+    * (doc, island) aggregate; the island frame joins back to the corpus
+    * on the doc key for the slice-sums (AQE broadcasts it when small).
+    * The owner keeps its copy even where it repeats the gram internally —
+    * within-doc repetition is [[graft.curate.Curation.repetitionScore]]'s
+    * axis, not this one.
+    */
+  def trimSummary(seqs: DataFrame, idCol: String, tokCol: String,
+                  k: Int): DataFrame = {
+    val occ = occurrences(seqs, idCol, tokCol, k)
+    val owners = occ.groupBy(col("g"), col(idCol)).agg(count(lit(1)).as("_m"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("_nd"), min(col(idCol)).as("_owner"))
+      .filter(col("_nd") >= 2)
+      .select(col("g"), col("_owner"))
+    val removals = occ.join(owners, Seq("g"))
+      .filter(col(idCol) =!= col("_owner"))
+      .select(col(idCol), col("start"), (col("start") + (k - 1)).as("end"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start"), col("end"))
+    val prevMax = max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = removals
+      .withColumn("_new",
+        when(prevMax.isNull || col("start") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("start")).as("a"), max(col("end")).as("b"))
+    val islandSums = islands
+      .join(seqs.select(col(idCol), col(tokCol)), Seq(idCol))
+      .select(col(idCol), (col("b") - col("a") + 1).as("_len"),
+        aggregate(slice(col(tokCol), col("a").cast("int"),
+          (col("b") - col("a") + 1).cast("int")),
+          lit(0L), (acc, x) => acc + x).as("_ssum"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_islands"), sum(col("_len")).as("n_removed"),
+        sum(col("_ssum")).as("_removed_sum"))
+    seqs.select(col(idCol), col("n_tok"),
+      aggregate(col(tokCol), lit(0L), (acc, x) => acc + x).as("_tot"))
+      .join(islandSums, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("_tot") - coalesce(col("_removed_sum"), lit(0L))).as("kept_sum"))
+  }
+
   /** Top repeated spans: duplicated k-grams ranked by total occurrence
     * count (then doc count, then the gram itself — a total order, so the
     * limit is deterministic). Output (g, n_docs, n_occ); TakeOrdered shape

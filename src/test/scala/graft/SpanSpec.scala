@@ -73,6 +73,60 @@ class SpanSpec extends SparkTestBase {
     assert(hot.filter(_._1 == blockGram).head._2 === nPlanted)
   }
 
+  private def trim(rows: Seq[(String, Seq[Int])], k: Int = 8) = {
+    val df = rows.toDF("doc_id", "tokens")
+      .withColumn("tokens", col("tokens").cast("array<int>"))
+      .withColumn("n_tok", size(col("tokens")))
+    SpanDedup.trimSummary(df, "doc_id", "tokens", k)
+      .select("doc_id", "n_islands", "n_removed", "kept_sum")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+  }
+
+  test("trim: min-doc owner keeps its copy, the other doc loses exactly the union of the shared run") {
+    val run = (1 to 10).toSeq
+    val a = run ++ Seq(100, 101, 102, 103, 104, 105)
+    val b = Seq(50, 51) ++ run ++ Seq(60, 61, 62, 63)
+    val m = trim(Seq("a" -> a, "b" -> b))
+    assert(m("a") === ((0L, 0L, 670L)))  // owner untouched: full sum
+    // b removes positions 3..12 (one island), keeps 402 - 55 = 347
+    assert(m("b") === ((1L, 10L, 347L)))
+  }
+
+  test("trim: disjoint removals stay two islands; adjacent removals merge into one") {
+    val run1 = (1 to 8).toSeq
+    val run2 = (21 to 28).toSeq
+    val c = run1 ++ Seq(200, 201, 202, 203) ++ run2
+    val d = run2 ++ Seq(300, 301, 302, 303) ++ run1
+    val m1 = trim(Seq("c" -> c, "d" -> d))
+    assert(m1("c") === ((0L, 0L, 1038L)))           // owner of both runs
+    assert(m1("d") === ((2L, 16L, 1206L)))          // [1,8] and [13,20] disjoint
+    // p shares runA (owned by o1) at 1..8 and runB (owned by o2) at 9..16:
+    // the two intervals are ADJACENT, so they must merge to ONE island
+    val runA = (31 to 38).toSeq
+    val runB = (41 to 48).toSeq
+    val o1 = runA ++ (500 to 506).toSeq
+    val o2 = runB ++ (600 to 606).toSeq
+    val p = runA ++ runB ++ Seq(700, 701)
+    val m2 = trim(Seq("o1" -> o1, "o2" -> o2, "p" -> p))
+    assert(m2("o1")._2 === 0L)
+    assert(m2("o2")._2 === 0L)
+    assert(m2("p") === ((1L, 16L, 1401L)))
+  }
+
+  test("trim: planted corpus — every non-owner planted doc loses >= the 32-token block; owners keep totals") {
+    val sp = SyntheticTokens.spannedFrom(spark, "/root/testdata/sf0.001")
+    val out = SpanDedup.trimSummary(sp, "doc_id", "tokens", 8)
+      .join(sp.select(col("doc_id"), col("orig")), "doc_id")
+    val planted = out.filter(pmod(col("orig"), lit(50L)).isin(11L, 12L, 13L) &&
+      col("n_tok") >= 64)
+    val minId = planted.agg(min(col("doc_id"))).head().getString(0)
+    assert(planted.filter(col("doc_id") =!= minId)
+      .filter(col("n_removed") < 32).count() === 0)
+    // removal never exceeds the doc and kept_sum stays within the total
+    assert(out.filter(col("n_removed") > col("n_tok")).count() === 0)
+    assert(out.filter(col("kept_sum") < 0).count() === 0)
+  }
+
   test("coverage invariants: dup_cov <= n_tok and dup_cov <= k * n_dup_grams") {
     val sp = SyntheticTokens.spannedFrom(spark, "/root/testdata/sf0.001")
     val out = SpanDedup.dupSpanCoverage(sp, "doc_id", "tokens", 8)
