@@ -394,6 +394,50 @@ object OracleSql {
       |            ELSE FALSE END AS anomalous
       |FROM p ORDER BY source""".stripMargin,
 
+    // Categorical vocab drift: one token-keyed conditional aggregate (no
+    // densify — a token absent from an epoch has that sum = 0 in its one
+    // row), HUGEINT common-denominator numerator, `//` exact floor.
+    "drift_vocab" -> s"""WITH $Seqs,
+      |vtk AS (SELECT orig % 2 AS e, unnest(tokens) AS tok FROM seqs),
+      |vh AS (SELECT tok,
+      |         CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |         CAST(sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |       FROM vtk GROUP BY tok),
+      |vt AS (SELECT CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1,
+      |         CAST(sum(CASE WHEN n0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+      |         CAST(sum(CASE WHEN n1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |         CAST(sum(CASE WHEN n0 > 0 AND n1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vs
+      |       FROM vh),
+      |vn AS (SELECT sum(abs(CAST(n0 AS HUGEINT) * t1
+      |                      - CAST(n1 AS HUGEINT) * t0)) AS num
+      |       FROM vh, vt)
+      |SELECT vt.t0 AS n0_total, vt.t1 AS n1_total,
+      |  vt.v0 AS vocab0, vt.v1 AS vocab1, vt.vs AS vocab_shared,
+      |  CAST(CASE WHEN vt.t0 > 0 AND vt.t1 > 0
+      |    THEN (1000 * vn.num) // (2 * CAST(vt.t0 AS HUGEINT) * vt.t1)
+      |    END AS BIGINT) AS tv_permille
+      |FROM vt, vn""".stripMargin,
+
+    "drift_vocab_top" -> s"""WITH $Seqs,
+      |vtk AS (SELECT orig % 2 AS e, unnest(tokens) AS tok FROM seqs),
+      |vh AS (SELECT tok,
+      |         CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |         CAST(sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |       FROM vtk GROUP BY tok),
+      |vt AS (SELECT CAST(sum(n0) AS BIGINT) AS t0,
+      |              CAST(sum(n1) AS BIGINT) AS t1 FROM vh),
+      |vd AS (SELECT tok, n0, n1,
+      |         CAST(n0 AS HUGEINT) * t1 - CAST(n1 AS HUGEINT) * t0 AS diff,
+      |         CAST(t0 AS HUGEINT) * t1 AS den
+      |       FROM vh, vt)
+      |SELECT tok, n0, n1,
+      |  CAST((1000000 * abs(diff)) // den AS BIGINT) AS shift_ppm,
+      |  CAST(CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END
+      |       AS BIGINT) AS dir
+      |FROM vd
+      |ORDER BY shift_ppm DESC, tok
+      |LIMIT 10""".stripMargin,
+
     "lm_oov" -> s"""WITH $Seqs,
       |tok AS (SELECT doc_id, unnest(tokens) AS tok FROM seqs),
       |freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),

@@ -8,7 +8,7 @@ import graft.compile.{ConstraintCompiler, Defaults}
 import graft.curate.{Curation, UrlCanon}
 import graft.constraint._
 import graft.dedup.{Dedup, SpanDedup}
-import graft.drift.{DriftCheck, SourceAnomaly}
+import graft.drift.{DriftCheck, SourceAnomaly, VocabDrift}
 import graft.gen.SyntheticTokens
 import graft.io.Bucketed
 import graft.json.{AvroJsonCodec, JsonCodec}
@@ -365,6 +365,17 @@ object Queries {
       DriftCheck.histogram(
         clean(s, dir).withColumn("epoch", pmod(col("orig"), lit(2L))),
         "n_tok", "epoch", 32L))
+
+  /** Categorical vocabulary drift between the parity epochs — the drift
+    * axis the numeric n_tok lenses can't see (tokenizer change, language
+    * mix, id remap). Integer-exact TV over the token vocab.
+    */
+  def driftVocab(s: SparkSession, dir: String): DataFrame =
+    VocabDrift.tvSummary(clean(s, dir), "tokens", "epoch")
+
+  /** Top-10 most-shifted tokens with direction (deterministic order). */
+  def driftVocabTop(s: SparkSession, dir: String): DataFrame =
+    VocabDrift.topShifted(clean(s, dir), "tokens", "epoch", 10)
 
   /** P60: violation exemplars — ≤3 example rows PER CONSTRAINT for the
     * human report ("show me a few offending rows"), the bounded version of

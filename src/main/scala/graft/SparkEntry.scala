@@ -41,6 +41,8 @@ object SparkEntry {
     "drift_gate" -> (Queries.driftGate _),
     "drift_emd" -> (Queries.driftEmd _),
     "drift_psi" -> (Queries.driftPsi _),
+    "drift_vocab" -> (Queries.driftVocab _),
+    "drift_vocab_top" -> (Queries.driftVocabTop _),
     "source_anomaly" -> (Queries.sourceAnomaly _),
     "violation_examples" -> (Queries.violationExamples _),
     "hist_udaf" -> (Queries.histUdaf _),

@@ -133,4 +133,19 @@ class SpanSpec extends SparkTestBase {
     assert(out.filter(col("dup_cov") > col("n_tok")).count() === 0)
     assert(out.filter(col("dup_cov") > lit(8L) * col("n_dup_grams")).count() === 0)
   }
+
+  test("cross-operator: trim removals are a subset of span coverage on every doc") {
+    // a removed occurrence is a duplicated occurrence whose owner is
+    // elsewhere — so per doc, n_removed <= dup_cov always, and a doc that
+    // owns nothing it duplicates has n_removed == dup_cov
+    val sp = SyntheticTokens.spannedFrom(spark, "/root/testdata/sf0.001")
+    val covd = SpanDedup.dupSpanCoverage(sp, "doc_id", "tokens", 8)
+      .select(col("doc_id"), col("dup_cov"))
+    val trm = SpanDedup.trimSummary(sp, "doc_id", "tokens", 8)
+      .select(col("doc_id"), col("n_removed"))
+    val j = covd.join(trm, "doc_id")
+    assert(j.filter(col("n_removed") > col("dup_cov")).count() === 0)
+    // and globally something must actually be removed on the planted corpus
+    assert(j.agg(sum(col("n_removed"))).head().getLong(0) > 0L)
+  }
 }
