@@ -1185,6 +1185,35 @@ object OracleSql {
     // bit-for-bit (each IEEE op is correctly rounded; mul-then-div would
     // round differently). Explicit DOUBLE casts: DuckDB keeps FLOAT
     // arithmetic in single precision, Spark promotes to double.
+    // Embedding audit mirror: identical per-row predicates (same non-finite
+    // formula — abs(x) above Float.MaxValue — rather than isinf, so the
+    // FORMULA is mirrored, not the intent), exact integer counts only.
+    "emb_audit" -> """SELECT
+      |  CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null,
+      |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+      |  CAST(min(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+      |    THEN len(embedding) END) AS BIGINT) AS dim_min,
+      |  CAST(max(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+      |    THEN len(embedding) END) AS BIGINT) AS dim_max,
+      |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+      |    AND len(list_filter(embedding,
+      |          x -> isnan(x) OR abs(x) > 3.4028235e38)) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+      |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+      |    AND len(list_filter(embedding,
+      |          x -> isnan(x) OR abs(x) > 3.4028235e38)) = 0
+      |    AND len(list_filter(embedding, x -> x <> 0)) = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+      |    AND len(list_filter(embedding,
+      |          x -> isnan(x) OR abs(x) > 3.4028235e38)) = 0
+      |    AND len(list_filter(embedding, x -> x <> 0)) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+      |FROM embeddings""".stripMargin,
+
     "emb_quantize" -> """WITH v0 AS (
       |  SELECT vec_id, len(embedding) AS n,
       |         unnest(range(len(embedding))) AS i, embedding

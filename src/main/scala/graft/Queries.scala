@@ -16,7 +16,7 @@ import graft.multimodal.MediaPipeline
 import graft.ref.ReferentialCheck
 import graft.run.Validator
 import graft.schema._
-import graft.sim.{Knn, Quantize}
+import graft.sim.{EmbAudit, Knn, Quantize}
 import graft.stats.{FdAudit, SkewAudit, SnapshotDiff, StatsPass}
 import graft.text.{Chunker, NgramStats, TextAnalysis}
 import graft.unique.SaltedUniqueness
@@ -1401,6 +1401,13 @@ object Queries {
       .select(col("cid").cast("long").as("cid"), col("pos").cast("long").as("pos"),
         col("qsum").cast("long").as("qsum"), col("cnt").cast("long").as("cnt"))
       .orderBy(col("cid"), col("pos"))
+
+  /** Embedding data-quality audit: the pre-flight the similarity family
+    * assumes (present / non-empty / consistent dim / finite / nonzero),
+    * one pass, nine exact integers.
+    */
+  def embAudit(s: SparkSession, dir: String): DataFrame =
+    EmbAudit.summary(emb(s, dir), "embedding")
 
   /** Int8 embedding quantization (sim.Quantize): one-pass per-dimension
     * min/max fit (64-key aggregate, dim-bounded collect — the IVF-codebook

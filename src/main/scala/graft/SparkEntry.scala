@@ -102,6 +102,7 @@ object SparkEntry {
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
     "ivf_fit" -> (Queries.ivfFit _),
     "emb_quantize" -> (Queries.embQuantize _),
+    "emb_audit" -> (Queries.embAudit _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "mix_sample" -> (Queries.mixSample _),
     "sample_cap_per_key" -> (Queries.sampleCapPerKey _),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
-import graft.sim.Knn
+import graft.sim.{EmbAudit, Knn}
 import graft.multimodal.MediaPipeline
 
 /** Training-data pipeline operators: dedup recall, kNN correctness,
@@ -430,5 +430,26 @@ class OpsSpec extends SparkTestBase {
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
     assert(viaBatch.exceptAll(viaCols).count() === 0L)
     assert(viaCols.exceptAll(viaBatch).count() === 0L)
+  }
+
+  test("embedding audit classifies null/empty/NaN/Inf/zero/valid rows exactly once each") {
+    val rows: Seq[Option[Seq[Float]]] = Seq(
+      None,                                  // null
+      Some(Seq.empty[Float]),                // empty
+      Some(Seq(Float.NaN, 1f)),              // non-finite (NaN)
+      Some(Seq(Float.PositiveInfinity)),     // non-finite (Inf), dim 1
+      Some(Seq(0f, 0f)),                     // zero vector
+      Some(Seq(1f, 2f)),                     // valid
+      Some(Seq(0f, 3f)))                     // valid (partial zeros are fine)
+    val df = rows.toDF("embedding")
+    val r = EmbAudit.summary(df, "embedding").head()
+    assert(r.getAs[Long]("n_total") === 7L)
+    assert(r.getAs[Long]("n_null") === 1L)
+    assert(r.getAs[Long]("n_empty") === 1L)
+    assert(r.getAs[Long]("n_nonfinite") === 2L)
+    assert(r.getAs[Long]("n_zero") === 1L)
+    assert(r.getAs[Long]("n_valid") === 2L)
+    assert(r.getAs[Long]("dim_min") === 1L)
+    assert(r.getAs[Long]("dim_max") === 2L)
   }
 }
