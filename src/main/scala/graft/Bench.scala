@@ -286,11 +286,22 @@ object Bench {
         // alphabetically-first query doesn't eat it (VERDICT r1 #5)
         try Queries.partitionSummary(s1, sfDir).count()
         catch { case _: Throwable => () }
+        // FULL MATERIALIZATION, not df.count(): count() wraps the query in
+        // a logical Aggregate FIRST and then optimizes, which lets Catalyst
+        // delete whole row-preserving branches — a left join whose right
+        // side has unique keys is eliminated outright, so a query shaped
+        // "corpus LEFT JOIN per-doc-aggregate" measures the cost of the
+        // corpus scan alone (observed: dedup_span 0.17 s by count vs 8.9 s
+        // materialized — a 50x flattery). toRdd executes the query's own
+        // physical plan, producing every output row with every column, the
+        // same work Verify's parquet dump does minus the writer.
+        def materialize(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+          fn(s1, sfDir).queryExecution.toRdd.count()
         val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           // untimed per-query warmup: absorbs heap-expansion first-touch
           // stalls and per-plan janino cost (see Scaladoc part 1); cache
           // cleared so a persist inside the query can't feed its timed rep
-          try { fn(s1, sfDir).count(); s1.catalog.clearCache() }
+          try { materialize(name, fn); s1.catalog.clearCache() }
           catch { case _: Throwable => () }
           // min of 2 timed reps: a single rep still eats any transient
           // co-tenant burst or late heap expansion in full (observed: a
@@ -302,7 +313,7 @@ object Bench {
           val t = (1 to 2).flatMap { _ =>
             var ok = true
             val tt = timed {
-              try fn(s1, sfDir).count()
+              try materialize(name, fn)
               catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); ok = false }
             }
             s1.catalog.clearCache()
@@ -639,7 +650,7 @@ object Bench {
            |executor, which is why the scaling-efficiency evidence uses the
            |in-memory suite.
            |
-           |Per-operator wall clock (s) on $sfDir at $cpus cores:
+           |Per-operator wall clock (s, full materialization) on $sfDir at $cpus cores:
            |""".stripMargin
           // the table rows' leading '|' would be eaten by stripMargin —
           // splice them in afterwards
@@ -753,7 +764,16 @@ object Bench {
                                    eff416: Double = 0.0,
                                    steal4: Double = 0.0,
                                    steal16: Double = 0.0): String = {
+    // `marker` anchors the header/table split (common prefix across table
+    // versions so a best-efficiency header is retained across a semantics
+    // change); `vtag` versions the MEASUREMENT semantics — per-op rows
+    // min-merge ONLY against a previous table with the same vtag. The v2
+    // bump (count() -> full materialization) exists because count()-based
+    // minima are systematically flattered for join-shaped queries (see the
+    // materialize() note in part 2) and an elementwise min would preserve
+    // those artifacts forever.
     val marker = "Per-operator wall clock"
+    val vtag = "full materialization"
     // the graded METRIC (validated seq/s) and the graded BAR (efficiency)
     // peak in different windows: a calm-8-core window maximizes the ratio,
     // a calm-32-core window maximizes throughput. The scaling block keeps
@@ -837,7 +857,7 @@ object Bench {
     val prevEff = prev.flatMap(p =>
       effRe.findFirstMatchIn(p).map(_.group(1).toDouble))
     val prevOps: Map[String, Double] = prev match {
-      case Some(p) if p.contains(marker) =>
+      case Some(p) if p.contains(marker) && p.contains(vtag) =>
         rowRe.findAllMatchIn(p.substring(p.indexOf(marker)))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       case _ => Map.empty

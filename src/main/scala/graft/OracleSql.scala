@@ -52,20 +52,28 @@ object OracleSql {
 
   private val DirtyAndSeqs = Dirty + ",\n" + SeqsCte
 
-  /** Planted-span corpus (mirrors SyntheticTokens.spanned) + 8-gram start
-    * occurrences — shared by the dedup_span / span_hot / span_trim family.
+  /** Planted-span corpus (mirrors SyntheticTokens.spanned: VARIABLE-STEP
+    * streams — step 97003 + 13*orig, distinct per doc — so cross-doc
+    * duplication is exactly the planted block) + 8-gram start occurrences;
+    * shared by the dedup_span / span_hot / span_trim family.
     */
-  private val SpanOcc = Seqs +
+  private val SpanOcc = Base +
     """,
+      |sv AS (SELECT orig, n_tok0,
+      |         list_transform(range(0, n_tok0),
+      |           i -> CAST((orig*2654435761 + i*(97003 + 13*orig) + 7) % 32768
+      |                AS INTEGER)) AS vt
+      |       FROM base),
       |sp AS (
-      |  SELECT doc_id, n_tok,
-      |    CASE WHEN orig % 50 IN (11, 12, 13) AND n_tok >= 64
-      |      THEN tokens[1:16]
+      |  SELECT 'doc-' || lpad(CAST(orig AS VARCHAR), 12, '0') AS doc_id,
+      |    CAST(n_tok0 AS INTEGER) AS n_tok,
+      |    CASE WHEN orig % 50 IN (11, 12, 13) AND n_tok0 >= 64
+      |      THEN vt[1:16]
       |        || list_transform(range(0, 32),
       |             i -> CAST((i*1009 + 13) % 32768 AS INTEGER))
-      |        || tokens[49:n_tok]
-      |      ELSE tokens END AS tokens
-      |  FROM seqs),
+      |        || vt[49:n_tok0]
+      |      ELSE vt END AS tokens
+      |  FROM sv),
       |st AS (SELECT doc_id, tokens,
       |         unnest(range(1, CAST(n_tok AS BIGINT) - 6)) AS start
       |       FROM sp WHERE n_tok >= 8),

@@ -30,15 +30,26 @@ import org.apache.spark.sql.functions._
   * corpus still shuffles correctly). Coverage is a per-doc interval-union
   * computed with ONE lead() window over start positions — never an
   * explode of the k covered positions (that would be a k× row blowup on
-  * exactly the duplicated-heavy documents). At 100 TB the gram string key
-  * would be swapped for xxhash64 of the slice (shuffle key width: 8 bytes
-  * vs ~40); the string form is kept here so the DuckDB oracle can mirror
-  * the pipeline byte-for-byte (same trade as the hashed-shingle note in
-  * [[Dedup]]).
+  * exactly the duplicated-heavy documents). Gram keys in the coverage and
+  * trim pipelines are 8-byte XXH64 hashes of the token slice
+  * ([[graft.functions.TokenGramHash]], one tight loop per row) — the
+  * rendered-string formulation was measured at 2.6 s of a 5 s query from
+  * interpreted per-start lambdas alone (SpanProbe at 1.25M grams), with a
+  * 5× wider shuffle key. The string pipeline remains for [[hotSpans]]
+  * (whose OUTPUT is the gram) and as the reference side of the
+  * hash-equivalence test; the DuckDB oracle groups exact string grams, so
+  * the hash-green CORRECTNESS rows certify the hashed path end to end
+  * (same trade as the hashed-shingle note in [[Dedup]]).
   */
 object SpanDedup {
 
-  /** One row per k-gram start: (idCol, start (1-based, long), g).
+  /** One row per k-gram start: (idCol, start (1-based, long), g) with the
+    * gram rendered as a space-joined string — the HUMAN-READABLE key, used
+    * by the hot-span report (whose output IS the gram) and as the
+    * reference formulation in the hash-equivalence test. Building ~40-char
+    * strings through an interpreted lambda per start is the dominant cost
+    * at volume (SpanProbe: 2.6 s of a 5 s query at 1.25M grams) — the
+    * coverage/trim pipelines use [[occurrencesHashed]] instead.
     * Docs shorter than k contribute nothing (callers left-join them back).
     */
   private def occurrences(seqs: DataFrame, idCol: String, tokCol: String,
@@ -52,16 +63,42 @@ object SpanDedup {
       .select(col(idCol), (col("pos") + 1).cast("long").as("start"),
         col("col").as("g"))
 
-  /** Grams that occur in ≥ 2 DISTINCT documents. Two-level aggregate
-    * (gram,doc) → gram instead of count(DISTINCT doc): no Expand blowup,
-    * and the first level also collapses within-doc repeats of a gram
-    * before the per-gram count.
+  /** Same shape with an 8-byte XXH64 gram key ([[graft.functions
+    * .TokenGramHash]] — one tight-loop eval per row, no per-start lambda,
+    * 5× narrower shuffle key). Collision note on the expression.
     */
-  private def duplicatedGrams(occ: DataFrame, idCol: String): DataFrame =
-    occ.groupBy(col("g"), col(idCol)).agg(count(lit(1)).as("_m"))
-      .groupBy(col("g")).agg(count(lit(1)).as("_nd"))
-      .filter(col("_nd") >= 2)
-      .select(col("g"))
+  private def occurrencesHashed(seqs: DataFrame, idCol: String,
+                                tokCol: String, k: Int): DataFrame =
+    seqs.select(col(idCol), col(tokCol))
+      .filter(size(col(tokCol)) >= k)
+      .select(col(idCol),
+        posexplode(graft.functions.hashExprs.token_gram_hash(col(tokCol), k)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("start"),
+        col("col").as("g"))
+
+  /** Grams that occur in ≥ 2 DISTINCT documents, with the min-doc owner.
+    * ONE single-pass aggregate: "≥ 2 distinct docs" ⟺ min ≠ max over the
+    * per-doc ids — cheaper than either count(DISTINCT) (Expand) or a
+    * (gram,doc)→gram two-level shape (a second corpus-sized shuffle
+    * measured at +1.1 s, SpanProbe3: nearly every (gram,doc) pair is
+    * unique, so the first level compacts nothing). The min/max pair runs
+    * on xxhash64(id) — primitive agg state instead of two per-group
+    * UTF8String states across ~10^6 mostly-singleton groups (the measured
+    * dominant cost of the string form); a hash collision can only MISS a
+    * duplicate whose ENTIRE doc set collides (≤ n_pairs/2^64 — the same
+    * accepted birthday class as TokenGramHash, and the DuckDB oracle
+    * recomputes exactly, so any miss is a red CORRECTNESS row, not silent).
+    * The string min(id) kept alongside doubles as [[trimSummary]]'s
+    * canonical owner for free.
+    */
+  private def duplicatedGrams(occ: DataFrame, idCol: String): DataFrame = {
+    val hid = xxhash64(col(idCol))
+    occ.groupBy(col("g"))
+      .agg(min(hid).as("_hl"), max(hid).as("_hh"),
+        min(col(idCol)).as("_owner"))
+      .filter(col("_hl") =!= col("_hh"))
+      .select(col("g"), col("_owner"))
+  }
 
   /** Per-document duplicated-span coverage: of the doc's n_tok token
     * positions, how many lie inside at least one k-gram that also occurs
@@ -76,9 +113,11 @@ object SpanDedup {
     * fixed-length intervals, one window pass.
     */
   def dupSpanCoverage(seqs: DataFrame, idCol: String, tokCol: String,
-                      k: Int): DataFrame = {
-    val occ = occurrences(seqs, idCol, tokCol, k)
-    val dupOcc = occ.join(duplicatedGrams(occ, idCol), Seq("g"))
+                      k: Int, hashedKeys: Boolean = true): DataFrame = {
+    val occ =
+      if (hashedKeys) occurrencesHashed(seqs, idCol, tokCol, k)
+      else occurrences(seqs, idCol, tokCol, k)
+    val dupOcc = occ.join(duplicatedGrams(occ, idCol).select(col("g")), Seq("g"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
     val perDoc = dupOcc
       .withColumn("_nxt", lead(col("start"), 1).over(w))
@@ -124,14 +163,11 @@ object SpanDedup {
     * axis, not this one.
     */
   def trimSummary(seqs: DataFrame, idCol: String, tokCol: String,
-                  k: Int): DataFrame = {
-    val occ = occurrences(seqs, idCol, tokCol, k)
-    val owners = occ.groupBy(col("g"), col(idCol)).agg(count(lit(1)).as("_m"))
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("_nd"), min(col(idCol)).as("_owner"))
-      .filter(col("_nd") >= 2)
-      .select(col("g"), col("_owner"))
-    val removals = occ.join(owners, Seq("g"))
+                  k: Int, hashedKeys: Boolean = true): DataFrame = {
+    val occ =
+      if (hashedKeys) occurrencesHashed(seqs, idCol, tokCol, k)
+      else occurrences(seqs, idCol, tokCol, k)
+    val removals = occ.join(duplicatedGrams(occ, idCol), Seq("g"))
       .filter(col(idCol) =!= col("_owner"))
       .select(col(idCol), col("start"), (col("start") + (k - 1)).as("end"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("start"), col("end"))
@@ -165,14 +201,29 @@ object SpanDedup {
     * count (then doc count, then the gram itself — a total order, so the
     * limit is deterministic). Output (g, n_docs, n_occ); TakeOrdered shape
     * — the full gram aggregate never reaches the driver.
+    *
+    * The expensive rendered-string grams are built ONLY for occurrences of
+    * hash-duplicated grams (a pushed-down candidate filter: string-equal ⇒
+    * hash-equal, so no true duplicate can be missed; a hash collision can
+    * only ADD candidates, which the string-side n_docs ≥ 2 filter
+    * re-screens — semantics identical to rendering everything, measured
+    * ~2.5× faster at 1.25M grams). Ranking, tiebreak, and the emitted gram
+    * text all operate on exact strings.
     */
   def hotSpans(seqs: DataFrame, idCol: String, tokCol: String, k: Int,
-               topK: Int): DataFrame =
-    occurrences(seqs, idCol, tokCol, k)
+               topK: Int): DataFrame = {
+    val occH = occurrencesHashed(seqs, idCol, tokCol, k)
+    val cand = occH.join(duplicatedGrams(occH, idCol).select(col("g")), Seq("g"))
+      .select(col(idCol), col("start"))
+    cand.join(seqs.select(col(idCol), col(tokCol)), Seq(idCol))
+      .select(col(idCol), expr(
+        s"array_join(transform(slice($tokCol, CAST(start AS INT), $k), " +
+          "t -> CAST(t AS STRING)), ' ')").as("g"))
       .groupBy(col("g"), col(idCol)).agg(count(lit(1)).as("_m"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_m")).as("n_occ"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_occ").desc, col("n_docs").desc, col("g"))
       .limit(topK)
+  }
 }

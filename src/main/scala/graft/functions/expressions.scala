@@ -198,12 +198,67 @@ final case class TokenGenBounds(orig: Expression, n: Expression,
     copy(orig = newLeft, n = newRight)
 }
 
+/** Variable-step token generator for the span-family fixture:
+  * tokens[i] = (orig*a + i*(b + s*orig) + c) % vocab — the per-doc step
+  * (s odd ⟹ steps distinct per orig below the vocab modulus) is what makes
+  * cross-doc k-gram duplication in that corpus exactly the planted block
+  * (see SyntheticTokens.spanned). A separate expression rather than a
+  * TokenArrayGen parameter so the FuseGenChecks rewrites — whose fused
+  * TokenGenBounds replays the CONSTANT-step formula — can never match a
+  * variable-step generator. CodegenFallback: the per-row tight loop
+  * dominates; this runs in fixtures, not the bench hot path. Intermediates:
+  * i ≤ n ≤ vocab, step ≤ b + s·orig — callers keep orig·a and i·step far
+  * below 2^63 (same contract as TokenArrayGen).
+  */
+final case class VarStepTokenGen(orig: Expression, n: Expression,
+                                 a: Long, b: Long, s: Long, c: Long,
+                                 vocab: Long)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(vocab > 0 && vocab <= Int.MaxValue, s"vocab out of int range: $vocab")
+
+  override def left: Expression = orig
+  override def right: Expression = n
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "var_step_token_gen"
+
+  override protected def nullSafeEval(o: Any, nv: Any): Any = {
+    val oo = o.asInstanceOf[Long]
+    val len = nv.asInstanceOf[Int]
+    val step = b + s * oo
+    val header = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .calculateHeaderPortionInBytes(len)
+    val numBytes = header + 4L * len
+    val data = new Array[Byte](numBytes.toInt)
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    org.apache.spark.unsafe.Platform.putLong(data, off, len.toLong)
+    var i = 0
+    while (i < len) {
+      org.apache.spark.unsafe.Platform.putInt(data, off + header + 4L * i,
+        ((oo * a + i * step + c) % vocab).toInt)
+      i += 1
+    }
+    val res = new org.apache.spark.sql.catalyst.expressions.UnsafeArrayData()
+    res.pointTo(data, off, numBytes.toInt)
+    res
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(orig = newLeft, n = newRight)
+}
+
 object exprs {
   import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
 
   /** tokens[i] = (orig*a + i*b + c) % vocab for i in [0, n). */
   def token_array_gen(orig: Column, n: Column, a: Long, b: Long, c: Long, vocab: Long): Column =
     toCol(TokenArrayGen(toExpr(orig), toExpr(n), a, b, c, vocab))
+
+  /** tokens[i] = (orig*a + i*(b + s*orig) + c) % vocab for i in [0, n). */
+  def var_step_token_gen(orig: Column, n: Column, a: Long, b: Long, s: Long,
+                         c: Long, vocab: Long): Column =
+    toCol(VarStepTokenGen(toExpr(orig), toExpr(n), a, b, s, c, vocab))
 
   /** true ⇔ some element is null or out of [lo, hi]. */
   def array_int_bounds_violated(arr: Column, lo: Long, hi: Long): Column =

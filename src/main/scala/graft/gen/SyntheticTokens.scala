@@ -104,36 +104,58 @@ object SyntheticTokens {
         pmod(orig, lit(2L)).cast("int").as("epoch"))
   }
 
-  // Planted duplicated-span variant (dedup_span / span_hot): classes and
-  // geometry of the shared token block. Docs in cls ∈ {11,12,13} with
-  // n_tok ≥ SpanMinLen get positions [SpanPrefix+1, SpanPrefix+SpanLen]
-  // overwritten with a doc-INDEPENDENT block c_i = (i*SpanA + SpanB) % Vocab
-  // — so those docs share a verbatim 32-token run while every other token
-  // stays orig-seeded (boundary k-grams differ per doc by construction).
+  // Planted duplicated-span variant (dedup_span / span_hot / span_trim):
+  // classes and geometry of the shared token block. Docs in cls ∈
+  // {11,12,13} with n_tok ≥ SpanMinLen get positions
+  // [SpanPrefix+1, SpanPrefix+SpanLen] overwritten with a doc-INDEPENDENT
+  // block c_i = (i*SpanA + SpanB) % Vocab.
+  //
+  // The span corpus uses a VARIABLE-STEP stream, not the clean generator:
+  // clean tokens advance by the same 97003 % 2^15 every position in every
+  // doc, so any two docs align under a shift and cross-doc k-gram
+  // duplication saturates the corpus (measured: 1.24M of 1.25M
+  // occurrences "duplicated" at sf0.1 — a dup-dominated fixture no real
+  // corpus resembles). Here the step is 97003 + 13*orig: distinct per doc
+  // below 2^15 docs (13 is odd ⟹ invertible mod 2^15), and two consecutive
+  // tokens determine the step, so two documents can share an 8-gram ONLY
+  // via the planted block — duplication in this fixture is exactly the
+  // plant, the realistic sparse regime the operators' scale shapes assume.
   val SpanClasses = Seq(11L, 12L, 13L)
   val SpanMinLen = 64L
   val SpanPrefix = 16
   val SpanLen = 32
   val SpanA = 1009L
   val SpanB = 13L
+  val SpanVarStep = 13L
 
-  /** Clean sequences with the planted shared span (same shape + `orig`).
-    * Pure column arithmetic, mirrored formula-for-formula by the DuckDB
-    * oracle (OracleSql `sp` CTE).
+  /** Planted-span sequences (same shape + `orig`). Pure column
+    * arithmetic, mirrored formula-for-formula by the DuckDB oracle
+    * (OracleSql `sp` CTE). All intermediates stay far below 2^63
+    * (i ≤ 511, step ≤ 97003 + 13·orig with orig ≤ ~10^7).
     */
   def spanned(documents: DataFrame): DataFrame = {
-    val base = clean(documents)
+    val orig = col("orig")
+    val nTok = nTok0(orig)
+    val varTokens =
+      graft.functions.exprs.var_step_token_gen(
+        orig, nTok, TokA, TokB, SpanVarStep, TokC, Vocab)
     val common = expr(
       s"transform(sequence(0, ${SpanLen - 1}), i -> CAST((i * $SpanA + $SpanB) % $Vocab AS INT))")
-    base.withColumn("tokens",
-      when(pmod(col("orig"), lit(ClassMod)).isin(SpanClasses: _*) &&
-        col("n_tok") >= SpanMinLen,
-        concat(
-          slice(col("tokens"), 1, SpanPrefix),
-          common,
-          slice(col("tokens"), lit(SpanPrefix + SpanLen + 1),
-            col("n_tok") - (SpanPrefix + SpanLen))))
-        .otherwise(col("tokens")))
+    documents
+      .select(col("doc_id").as("orig"), col("source"))
+      .select(
+        docIdStr(orig).as("doc_id"),
+        when(pmod(orig, lit(ClassMod)).isin(SpanClasses: _*) &&
+          nTok >= SpanMinLen,
+          concat(
+            slice(varTokens, 1, SpanPrefix),
+            common,
+            slice(varTokens, lit(SpanPrefix + SpanLen + 1),
+              nTok - (SpanPrefix + SpanLen))))
+          .otherwise(varTokens).as("tokens"),
+        nTok.as("n_tok"),
+        col("source"),
+        orig)
   }
 
   def spannedFrom(spark: SparkSession, sfDir: String): DataFrame =

@@ -10,12 +10,14 @@ class BenchMergeSpec extends AnyFunSuite {
 
   // table appended AFTER stripMargin, exactly as Bench builds the file
   // (stripMargin would otherwise eat the rows' leading '|')
-  private def record(eff: Double, opTable: String): String =
+  private def record(eff: Double, opTable: String,
+                     tableHeader: String =
+                       "Per-operator wall clock (s, full materialization)"): String =
     s"""# BENCH — measured
        |
        |Scaling efficiency (8 -> 32 cores = N -> 4N): **$eff** (target >= 0.8).
        |
-       |Per-operator wall clock (s) on /root/testdata/sf0.1 at 32 cores:
+       |$tableHeader on /root/testdata/sf0.1 at 32 cores:
        |""".stripMargin +
       s"\n| query | sec |\n|---|---|\n$opTable\n"
 
@@ -54,6 +56,20 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(out.contains("**0.6**"), "better scaling block promoted")
     assert(out.contains("| dedup_embedding | 3.500 |"), "stalled value replaced by recorded min")
     assert(out.contains("| q1_agg | 0.500 |"), "improved value kept")
+  }
+
+  test("a previous table from the count()-based v1 semantics never min-merges, but its scaling record survives") {
+    // v1 minima are systematically flattered for join-shaped queries
+    // (count() lets Catalyst delete row-preserving joins), so a semantics
+    // bump must drop them; the best-efficiency scaling header is
+    // measurement-version-independent and must be retained
+    val prevV1 = record(0.70, "| dedup_span | 0.170 |",
+      tableHeader = "Per-operator wall clock (s)")
+    val md = record(0.50, "| dedup_span | 2.900 |")
+    val out = Bench.mergeBaseline(Some(prevV1), md, 0.50, 0.1, 0.2)
+    assert(out.contains("| dedup_span | 2.900 |"), "v1 flattered min must not survive")
+    assert(!out.contains("0.170"), "no stale v1 value anywhere")
+    assert(out.contains("**0.7**"), "best-efficiency header retained across the version bump")
   }
 
   test("unparseable or marker-less previous file is replaced, not corrupted") {

@@ -49,6 +49,42 @@ class ExpressionsSpec extends SparkTestBase {
     assert(bad.toSeq === Seq(3L, 4L, 5L))
   }
 
+  test("VarStepTokenGen matches the transform(sequence) variable-step formula element-for-element") {
+    val s = 13L
+    val df = spark.range(0L, 2000L, 1L, 4)
+      .select(col("id"),
+        (lit(1L) + pmod(col("id") * NA + NB, lit(NTokMod))).cast("int").as("n"))
+      .select(col("id"), col("n"),
+        exprs.var_step_token_gen(col("id"), col("n"), TokA, TokB, s, TokC, Vocab).as("fast"),
+        transform(sequence(lit(0L), col("n").cast("long") - 1L),
+          i => pmod(col("id") * TokA + i * (lit(TokB) + lit(s) * col("id")) + TokC,
+            lit(Vocab)).cast("int")).as("slow"))
+    assert(df.filter(!(col("fast") <=> col("slow"))).count() === 0L)
+  }
+
+  test("TokenGramHash: length n-k+1, equal slices hash equal, equality matches the string grams") {
+    val df = spark.range(0L, 500L, 1L, 4)
+      .select(col("id"),
+        (lit(1L) + pmod(col("id") * NA + NB, lit(NTokMod))).cast("int").as("n"))
+      .select(col("id"),
+        exprs.token_array_gen(col("id"), col("n"), TokA, TokB, TokC, Vocab).as("toks"))
+      .select(col("id"), col("toks"),
+        hashExprs.token_gram_hash(col("toks"), 8).as("gh"),
+        expr("transform(slice(toks, 1, greatest(size(toks) - 7, 0)), " +
+          "(x, i) -> array_join(transform(slice(toks, i + 1, 8), " +
+          "t -> CAST(t AS STRING)), ' '))").as("gs"))
+    // per-row length law (docs shorter than k yield empty arrays)
+    assert(df.filter(size(col("gh")) =!=
+      greatest(size(col("toks")) - 7, lit(0))).count() === 0L)
+    // hash equality must coincide with string-gram equality across a
+    // cross-section of (gram, gram) pairs: explode both and compare group
+    // cardinalities — |distinct hashes| == |distinct strings| catches both
+    // a false merge (collision) and a false split (non-determinism)
+    val dh = df.select(explode(col("gh")).as("g")).distinct().count()
+    val ds = df.select(explode(col("gs")).as("g")).distinct().count()
+    assert(dh === ds, s"distinct hashed $dh != distinct string $ds")
+  }
+
   test("MinHashSignature: deterministic, set-identical inputs agree, similar sets mostly agree") {
     import spark.implicits._
     val df = Seq(

@@ -54,15 +54,18 @@ class SpanSpec extends SparkTestBase {
     assert(m("t")._2 === 12L) // full shared doc
   }
 
-  test("planted-span corpus: every planted doc (cls 11-13, n_tok>=64) covers >=32 positions; hotSpans surfaces the block") {
+  test("planted-span corpus: planted docs cover exactly the 32-token block, unplanted docs read zero; hotSpans surfaces the block") {
     val sp = SyntheticTokens.spannedFrom(spark, "/root/testdata/sf0.001")
     val out = SpanDedup.dupSpanCoverage(sp, "doc_id", "tokens", 8)
       .join(sp.select(col("doc_id"), col("orig")), "doc_id")
-    val planted = out.filter(pmod(col("orig"), lit(50L)).isin(11L, 12L, 13L) &&
-      col("n_tok") >= 64)
+    val isPlanted = pmod(col("orig"), lit(50L)).isin(11L, 12L, 13L) &&
+      col("n_tok") >= 64
+    val planted = out.filter(isPlanted)
     assert(planted.count() > 0)
-    assert(planted.filter(col("dup_cov") < 32).count() === 0)
-    assert(planted.filter(col("n_dup_grams") < 25).count() === 0)
+    // variable-step streams: cross-doc duplication is EXACTLY the plant
+    assert(planted.filter(col("dup_cov") =!= 32).count() === 0)
+    assert(planted.filter(col("n_dup_grams") =!= 25).count() === 0)
+    assert(out.filter(!isPlanted).filter(col("dup_cov") =!= 0).count() === 0)
     // the shared block's interior grams dominate the hot-span report
     val hot = SpanDedup.hotSpans(sp, "doc_id", "tokens", 8, 20)
       .select("g", "n_docs").as[(String, Long)].collect()
@@ -121,7 +124,9 @@ class SpanSpec extends SparkTestBase {
       col("n_tok") >= 64)
     val minId = planted.agg(min(col("doc_id"))).head().getString(0)
     assert(planted.filter(col("doc_id") =!= minId)
-      .filter(col("n_removed") < 32).count() === 0)
+      .filter(col("n_removed") =!= 32 || col("n_islands") =!= 1).count() === 0)
+    assert(planted.filter(col("doc_id") === minId)
+      .filter(col("n_removed") =!= 0).count() === 0)
     // removal never exceeds the doc and kept_sum stays within the total
     assert(out.filter(col("n_removed") > col("n_tok")).count() === 0)
     assert(out.filter(col("kept_sum") < 0).count() === 0)
@@ -132,6 +137,18 @@ class SpanSpec extends SparkTestBase {
     val out = SpanDedup.dupSpanCoverage(sp, "doc_id", "tokens", 8)
     assert(out.filter(col("dup_cov") > col("n_tok")).count() === 0)
     assert(out.filter(col("dup_cov") > lit(8L) * col("n_dup_grams")).count() === 0)
+  }
+
+  test("hashed gram keys reproduce the string-gram pipeline exactly (coverage and trim)") {
+    val sp = SyntheticTokens.spannedFrom(spark, "/root/testdata/sf0.001")
+    val covH = SpanDedup.dupSpanCoverage(sp, "doc_id", "tokens", 8)
+    val covS = SpanDedup.dupSpanCoverage(sp, "doc_id", "tokens", 8, hashedKeys = false)
+    assert(covH.exceptAll(covS).count() === 0L)
+    assert(covS.exceptAll(covH).count() === 0L)
+    val trH = SpanDedup.trimSummary(sp, "doc_id", "tokens", 8)
+    val trS = SpanDedup.trimSummary(sp, "doc_id", "tokens", 8, hashedKeys = false)
+    assert(trH.exceptAll(trS).count() === 0L)
+    assert(trS.exceptAll(trH).count() === 0L)
   }
 
   test("cross-operator: trim removals are a subset of span coverage on every doc") {
