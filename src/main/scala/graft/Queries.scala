@@ -663,10 +663,10 @@ object Queries {
   /** Per-document cross-doc duplicated-span coverage (token-level
     * exact-substring dedup signal) over the planted-span variant: docs in
     * cls ∈ {11,12,13} with n_tok ≥ 64 share a verbatim 32-token block at
-    * positions 17..48, so each planted doc carries ≥ 25 duplicated 8-gram
-    * starts covering ≥ 32 positions; orig-seeded token streams also
-    * collide naturally (the token formula is linear mod 2^15), and the
-    * oracle computes the exact ground truth for both.
+    * positions 17..48 — and, the streams being per-doc-step
+    * (SyntheticTokens.spanned), that plant is exactly the corpus's
+    * cross-doc duplication: planted docs cover 32 positions, everyone
+    * else 0, and the oracle recomputes the full ground truth.
     */
   def dedupSpan(s: SparkSession, dir: String): DataFrame =
     SpanDedup.dupSpanCoverage(
