@@ -180,4 +180,31 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("vocab drift TV: symmetric under epoch swap, invariant under token relabeling, monotone plant") {
+    import graft.drift.VocabDrift
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf(0, 1), Gen.listOfN(24, Gen.choose(0, 80))))
+    (1 to 3).foreach { trial =>
+      val rows = sample(gen, 9100L + trial)
+      val df = rows.toDF("epoch", "tokens")
+        .withColumn("tokens", col("tokens").cast("array<int>"))
+      def tv(d: org.apache.spark.sql.DataFrame): Long =
+        VocabDrift.tvSummary(d, "tokens", "epoch").head()
+          .getAs[Long]("tv_permille")
+      val base = tv(df)
+      // epoch swap: |p0 - p1| is symmetric
+      val swapped = df.withColumn("epoch", lit(1) - col("epoch"))
+      assert(tv(swapped) === base, "TV must be symmetric under epoch swap")
+      // bijective token relabeling (x -> 7919 - x on [0,80] stays injective)
+      val relabeled = df.withColumn("tokens",
+        expr("transform(tokens, x -> CAST(7919 - x AS INT))"))
+      assert(tv(relabeled) === base, "TV must be invariant under relabeling")
+      // planting a disjoint-vocab block into epoch 1 never lowers TV
+      val planted = df.unionByName(
+        Seq((1, Seq.fill(24)(9999))).toDF("epoch", "tokens")
+          .withColumn("tokens", col("tokens").cast("array<int>")))
+      assert(tv(planted) >= base, "disjoint-mass plant must not lower TV")
+    }
+  }
 }
