@@ -66,6 +66,7 @@ object OracleSql {
       |       FROM base),
       |sp AS (
       |  SELECT 'doc-' || lpad(CAST(orig AS VARCHAR), 12, '0') AS doc_id,
+      |    orig,
       |    CAST(n_tok0 AS INTEGER) AS n_tok,
       |    CASE WHEN orig % 50 IN (11, 12, 13) AND n_tok0 >= 64
       |      THEN vt[1:16]
@@ -732,6 +733,19 @@ object OracleSql {
       |FROM dm GROUP BY g HAVING count(*) >= 2
       |ORDER BY n_occ DESC, n_docs DESC, g
       |LIMIT 20""".stripMargin),
+
+    // Token-level eval-overlap decontamination mirror: eval grams are the
+    // DISTINCT string grams of the cls-11 docs; a train doc's hits are
+    // its k-gram START positions matching that set.
+    "decontam_span" -> (s"WITH $SpanOcc,\n" + """evg AS (
+      |  SELECT DISTINCT o.g FROM occ o JOIN sp s USING (doc_id)
+      |  WHERE s.orig % 50 = 11)
+      |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM occ o JOIN sp s USING (doc_id) JOIN evg USING (g)
+      |WHERE s.orig % 50 <> 11
+      |GROUP BY o.doc_id
+      |HAVING count(*) >= 1
+      |ORDER BY o.doc_id""".stripMargin),
 
     // Canonical-owner trim mirror: min-doc ownership on the (gram,doc)
     // aggregate, non-owner occurrences merged gaps-and-islands style

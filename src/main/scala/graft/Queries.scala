@@ -689,6 +689,19 @@ object Queries {
       SyntheticTokens.spannedFrom(s, dir), "doc_id", "tokens", 8)
       .orderBy(col("doc_id"))
 
+  /** Token-level 8-gram eval-overlap decontamination: eval = the cls-11
+    * planted docs, train = everyone else; the per-doc-step fixture makes
+    * the contaminated set exactly the cls-12/13 planted docs (each with
+    * 25 hit positions from the shared block).
+    */
+  def decontamSpan(s: SparkSession, dir: String): DataFrame = {
+    val sp = SyntheticTokens.spannedFrom(s, dir)
+    val evalSet = sp.filter(pmod(col("orig"), lit(50L)) === 11L)
+    val train = sp.filter(pmod(col("orig"), lit(50L)) =!= 11L)
+    SpanDedup.crossSpanHits(train, evalSet, "doc_id", "tokens", 8, 1L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Planted/organic classification of found pairs: (doc_a, doc_b) is
     * planted ⇔ doc_b = doc_a + 100000 (the near-dup plant). The oracle
     * predicts the counts from all-pairs exact Jaccard — planted_missed must

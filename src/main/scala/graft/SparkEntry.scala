@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_span" -> (Queries.dedupSpan _),
     "span_hot" -> (Queries.spanHot _),
     "span_trim" -> (Queries.spanTrim _),
+    "decontam_span" -> (Queries.decontamSpan _),
     "lsh_screen" -> (Queries.lshScreen _),
     "url_canon" -> (Queries.urlCanon _),
     "key_skew" -> (Queries.keySkewAudit _),

@@ -197,6 +197,37 @@ object SpanDedup {
         (col("_tot") - coalesce(col("_removed_sum"), lit(0L))).as("kept_sum"))
   }
 
+  /** Token-level eval-overlap decontamination — the published k-token-gram
+    * collision screen (GPT-3's 13-gram / PaLM's 8-gram appendix method),
+    * run directly on the pre-tokenized arrays: a train document is
+    * contaminated when ≥ minHits of its k-gram START positions match ANY
+    * k-gram of the eval set. The word-text trigram path
+    * ([[graft.curate.Curation]].decontaminate) needs text; this is the
+    * variant for the north-rule token table, and it shares the hashed
+    * occurrence pipeline with the span family.
+    *
+    * Output: (idCol, n_hits) for flagged train docs only.
+    *
+    * Scale shape: the eval side (benchmarks — tiny vs a 10^12-seq corpus)
+    * reduces to a DISTINCT gram-hash set; the train side explodes once and
+    * joins that set on the gram key (AQE broadcasts the eval set — the
+    * probe filters BEFORE any train shuffle), then one train-doc-keyed
+    * aggregate over HIT rows only. The train corpus itself never
+    * shuffles. Hash keys as in the rest of the family (collision ⇒ a
+    * spurious hit with probability ~|train grams|·|eval grams|/2^64;
+    * the oracle recomputes exact string grams, so fixture-scale runs
+    * certify the hashed path).
+    */
+  def crossSpanHits(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    tokCol: String, k: Int, minHits: Long): DataFrame = {
+    val tocc = occurrencesHashed(train, idCol, tokCol, k)
+    val eg = occurrencesHashed(evalSet, idCol, tokCol, k)
+      .select(col("g")).distinct()
+    tocc.join(eg, Seq("g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Top repeated spans: duplicated k-grams ranked by total occurrence
     * count (then doc count, then the gram itself — a total order, so the
     * limit is deterministic). Output (g, n_docs, n_occ); TakeOrdered shape

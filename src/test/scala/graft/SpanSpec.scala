@@ -132,6 +132,22 @@ class SpanSpec extends SparkTestBase {
     assert(out.filter(col("kept_sum") < 0).count() === 0)
   }
 
+  test("span decontamination flags exactly the planted train classes sharing the eval block") {
+    val sp = SyntheticTokens.spannedFrom(spark, "/root/testdata/sf0.001")
+    val ev = sp.filter(pmod(col("orig"), lit(50L)) === 11L)
+    val tr = sp.filter(pmod(col("orig"), lit(50L)) =!= 11L)
+    val hits = SpanDedup.crossSpanHits(tr, ev, "doc_id", "tokens", 8, 1L)
+      .join(sp.select(col("doc_id"), col("orig"), col("n_tok")), "doc_id")
+    val expected = tr.filter(pmod(col("orig"), lit(50L)).isin(12L, 13L) &&
+      col("n_tok") >= 64).count()
+    assert(expected > 0)
+    assert(hits.count() === expected)
+    assert(hits.filter(!(pmod(col("orig"), lit(50L)).isin(12L, 13L) &&
+      col("n_tok") >= 64)).count() === 0)
+    // every contaminated doc hits on exactly the 25 block-interior starts
+    assert(hits.filter(col("n_hits") =!= 25).count() === 0)
+  }
+
   test("coverage invariants: dup_cov <= n_tok and dup_cov <= k * n_dup_grams") {
     val sp = SyntheticTokens.spannedFrom(spark, "/root/testdata/sf0.001")
     val out = SpanDedup.dupSpanCoverage(sp, "doc_id", "tokens", 8)
