@@ -86,4 +86,31 @@ class AdversarialSpec extends SparkTestBase {
     assert(buckets.distinct.size === 466)
     assert(buckets.forall(b => java.lang.Long.bitCount(b ^ 5L) <= 2))
   }
+
+  test("span family completes and stays exact on an ALL-duplicate corpus " +
+      "(every gram in every doc)") {
+    // worst case for the candidate pushdown: the hash-duplicated survivor
+    // set is the whole corpus, so the hot-span render and the coverage
+    // join degrade to corpus-sized — they must stay LINEAR (no all-pairs
+    // product anywhere) and exact: identical docs cover every position
+    import spark.implicits._
+    val n = 200
+    val toks = (1 to 40).toSeq
+    val df = (0 until n).map(i => (f"d$i%04d", toks)).toDF("doc_id", "tokens")
+      .withColumn("tokens", col("tokens").cast("array<int>"))
+      .withColumn("n_tok", size(col("tokens")))
+    val cov = graft.dedup.SpanDedup.dupSpanCoverage(df, "doc_id", "tokens", 8)
+    assert(cov.filter(col("dup_cov") =!= 40).count() === 0)
+    assert(cov.count() === n)
+    val hot = graft.dedup.SpanDedup.hotSpans(df, "doc_id", "tokens", 8, 5)
+      .collect()
+    assert(hot.length === 5)
+    assert(hot.forall(_.getAs[Long]("n_docs") === n.toLong))
+    // trim: d0000 owns everything; everyone else loses their whole doc
+    val tr = graft.dedup.SpanDedup.trimSummary(df, "doc_id", "tokens", 8)
+    assert(tr.filter(col("doc_id") === "d0000")
+      .head().getAs[Long]("n_removed") === 0L)
+    assert(tr.filter(col("doc_id") =!= "d0000")
+      .filter(col("n_removed") =!= 40 || col("kept_sum") =!= 0).count() === 0)
+  }
 }
