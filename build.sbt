@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// BENCH_r04 post-mortem (4th round of `parsed:null`): sbt decorates forked
+// stdout with an `[info] ` prefix and appends its own `[success] Total
+// time…` line, so the driver's tail parser never sees a bare JSON line.
+// StdoutOutput passes the forked JVM's stdout/stderr through UNDECORATED,
+// and showSuccess kills the trailing banner — the bench headline JSON
+// becomes the literal last stdout line of `sbt "runMain graft.Bench"`.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // BENCH_r02 post-mortem: the driver environment carries SPARK_LOCAL_DIRS,
 // which outranks the -Dspark.local.dir pin below (Spark
 // Utils.getConfiguredLocalDirs precedence) — the r2 bench died on /tmp

@@ -350,8 +350,9 @@ object OracleSql {
       |      FROM h)
       |SELECT CAST(sum(abs(cum0*n1 - cum1*n0)) AS DECIMAL(38,0)) AS emd_num,
       |       CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
-      |       round(CAST(sum(abs(cum0*n1 - cum1*n0)) AS DOUBLE) * 32
-      |             / (CAST(max(n0) AS DOUBLE) * CAST(max(n1) AS DOUBLE)), 6) AS emd
+      |       CAST(CAST(sum(abs(cum0*n1 - cum1*n0)) AS HUGEINT) * 32 * 1000000
+      |            // (CAST(max(n0) AS HUGEINT) * CAST(max(n1) AS HUGEINT))
+      |            AS BIGINT) AS emd_ppm
       |FROM c""".stripMargin,
 
     // PSI mirror: same two-epoch width-32 histogram as drift_emd; Laplace

@@ -128,8 +128,18 @@ object DriftCheck {
         sum(col("num")).cast("decimal(38,0)").as("emd_num"),
         max(col("n0")).cast("long").as("n0"),
         max(col("n1")).cast("long").as("n1"))
+      // r4 VERDICT #1: the raw-double `round(num·w/(n0·n1), 6)` was the one
+      // hash-FAIL in CORRECTNESS_r04 — DuckDB's round() on DOUBLE differs in
+      // the last ulp from Spark's decimal-exact HALF_UP. Emit the statistic
+      // integer-exactly instead (parts-per-million via the DECIMAL(38)+pmod
+      // floor-division idiom already green in source_anomaly / drift_vocab)
+      // and keep no engine-dependent double in the oracled frame.
+      .withColumn("_x", col("emd_num") * lit(bucketWidth).cast("decimal(38,0)")
+        * lit(1000000L).cast("decimal(38,0)"))
+      .withColumn("_d", col("n0").cast("decimal(38,0)") * col("n1").cast("decimal(38,0)"))
       .select(col("emd_num"), col("n0"), col("n1"),
-        round(col("emd_num").cast("double") * bucketWidth /
-          (col("n0").cast("double") * col("n1").cast("double")), 6).as("emd"))
+        when(col("_d") > 0,
+          ((col("_x") - pmod(col("_x"), col("_d"))) / col("_d")).cast("long"))
+          .as("emd_ppm"))
   }
 }

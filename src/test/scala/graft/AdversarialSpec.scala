@@ -95,7 +95,7 @@ class AdversarialSpec extends SparkTestBase {
     // product anywhere) and exact: identical docs cover every position
     import spark.implicits._
     val n = 200
-    val toks = (1 to 40).toSeq
+    val toks = (1 to 40).toList
     val df = (0 until n).map(i => (f"d$i%04d", toks)).toDF("doc_id", "tokens")
       .withColumn("tokens", col("tokens").cast("array<int>"))
       .withColumn("n_tok", size(col("tokens")))

@@ -546,16 +546,16 @@ class CurationSpec extends SparkTestBase {
   test("drift EMD: hand-computed value, integer-exact numerator, shift sensitivity") {
     import spark.implicits._
     // epoch 0: 4 rows in bucket 0; epoch 1: 2 in bucket 0, 2 in bucket 1.
-    // F0 = (1, 1), F1 = (0.5, 1) → EMD = 0.5 * width(=10) = 5.0.
+    // F0 = (1, 1), F1 = (0.5, 1) → EMD = 0.5 * width(=10) = 5.0 = 5_000_000 ppm.
     // Numerator: |cum0*n1 - cum1*n0| = |4*4 - 2*4| + |4*4 - 4*4| = 8.
     val hist = Seq((0, 0, 4L), (1, 0, 2L), (1, 1, 2L)).toDF("epoch", "bucket", "cnt")
     val r = graft.drift.DriftCheck.emd(hist, bucketWidth = 10L).collect().head
     assert(r.getDecimal(0).longValueExact() == 8L)
     assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
-    assert(r.getDouble(3) == 5.0)
+    assert(r.getLong(3) == 5000000L)
     // identical distributions → EMD exactly 0
     val same = Seq((0, 0, 3L), (0, 1, 3L), (1, 0, 3L), (1, 1, 3L))
       .toDF("epoch", "bucket", "cnt")
-    assert(graft.drift.DriftCheck.emd(same, 10L).collect().head.getDouble(3) == 0.0)
+    assert(graft.drift.DriftCheck.emd(same, 10L).collect().head.getLong(3) == 0L)
   }
 }
