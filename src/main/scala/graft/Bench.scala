@@ -295,13 +295,19 @@ object Bench {
         // materialized — a 50x flattery). toRdd executes the query's own
         // physical plan, producing every output row with every column, the
         // same work Verify's parquet dump does minus the writer.
-        def materialize(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+        def materialize(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
           fn(s1, sfDir).queryExecution.toRdd.count()
-        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // dev subset (mirrors Verify's SPARK_GRAFT_ONLY): comma-separated
+        // query names; unset = full suite. Never set by the driver.
+        val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+          .map(_.split(",").map(_.trim).toSet)
+        val r = SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (name, _) => only.forall(_.contains(name)) }
+          .map { case (name, fn) =>
           // untimed per-query warmup: absorbs heap-expansion first-touch
           // stalls and per-plan janino cost (see Scaladoc part 1); cache
           // cleared so a persist inside the query can't feed its timed rep
-          try { materialize(name, fn); s1.catalog.clearCache() }
+          try { materialize(fn); s1.catalog.clearCache() }
           catch { case _: Throwable => () }
           // min of 2 timed reps: a single rep still eats any transient
           // co-tenant burst or late heap expansion in full (observed: a
@@ -313,7 +319,7 @@ object Bench {
           val t = (1 to 2).flatMap { _ =>
             var ok = true
             val tt = timed {
-              try materialize(name, fn)
+              try materialize(fn)
               catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); ok = false }
             }
             s1.catalog.clearCache()

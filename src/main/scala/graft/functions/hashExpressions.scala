@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -420,8 +420,70 @@ final case class TokenGramHash(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Exact cosine similarity of two float-array embeddings in ONE tight
+  * loop (three index-ordered accumulators: a·b, a·a, b·b), replacing the
+  * `aggregate(zip_with(...))` HOF formulation that evaluated an
+  * interpreted expression tree per DIMENSION per candidate pair — the
+  * measured dominant cost of `dedup_embedding` (5.75 s, its far-fewer-
+  * pairs capped twin 0.67 s — VERDICT r4 "what's wrong" #3; same
+  * interpreted-lambda cliff already killed for MinHash/SimHash/
+  * hyperplanes/CentroidNearest/QuantizeInt8 in this file).
+  *
+  * Bit-compatibility is load-bearing: the result feeds `round(cos, 6)`
+  * columns that are hash-compared against the DuckDB oracle's
+  * `list_reduce` formulation. Each accumulator here is the same
+  * left-to-right index-ordered double sum as the HOF `aggregate(..,
+  * (acc, v) => acc + v)` fold, and the final combination
+  * `dab / (sqrt(daa) * sqrt(dbb))` applies the identical IEEE op
+  * sequence — correctly-rounded ops in identical order ⇒ identical
+  * bits (the QuantizeInt8 argument). Equivalence is property-tested
+  * against the retained HOF twin in ExpressionsSpec.
+  *
+  * Null semantics also mirror the HOF exactly: null array → null;
+  * length mismatch → null (zip_with pads with null, poisoning the fold);
+  * null element → null (acc + null = null).
+  */
+final case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def nullable: Boolean = true
+
+  @transient private lazy val leftIsDouble =
+    left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  @transient private lazy val rightIsDouble =
+    right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = aa.numElements()
+    if (bb.numElements() != n) return null
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+      val x = if (leftIsDouble) aa.getDouble(i) else aa.getFloat(i).toDouble
+      val y = if (rightIsDouble) bb.getDouble(i) else bb.getFloat(i).toDouble
+      dab += x * y
+      daa += x * x
+      dbb += y * y
+      i += 1
+    }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object hashExprs {
   import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+
+  def cosine_sim(a: Column, b: Column): Column =
+    toCol(CosineSim(toExpr(a), toExpr(b)))
 
   def token_gram_hash(tokens: Column, k: Int): Column =
     toCol(TokenGramHash(toExpr(tokens), k))

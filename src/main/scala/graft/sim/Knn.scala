@@ -17,14 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Index-ordered dot product of two float arrays, accumulated in double. */
+  /** Index-ordered dot product of two float arrays, accumulated in double.
+    * HOF reference formulation — kept as the equivalence-test twin for
+    * [[graft.functions.CosineSim]]; not used in any query path (the
+    * interpreted lambda tree evaluates per dimension per candidate pair —
+    * the measured dominant cost of dedup_embedding, VERDICT r4 #3).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** HOF twin of [[cosine]] (bit-identical by construction; see
+    * CosineSim's scaladoc for the IEEE argument). Test-only reference. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine: one tight-loop expression eval per pair (three
+    * index-ordered accumulators), bit-identical to [[cosineHof]] and to
+    * the DuckDB oracle's list_reduce formulation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.hashExprs.cosine_sim(a, b)
 
   /** Bounded-heap per-query ranking: map-side partials reduce each input
     * partition to ≤k rows per query BEFORE the exchange, so the shuffle

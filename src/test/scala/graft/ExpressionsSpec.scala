@@ -114,4 +114,34 @@ class ExpressionsSpec extends SparkTestBase {
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
     assert(ham(m(1L), m(2L)) <= 10)
   }
+
+  test("CosineSim is BIT-identical to the HOF aggregate(zip_with) cosine " +
+      "on all testdata embedding pairs, and mirrors HOF null semantics") {
+    // bit-identity (not approx) is the contract: round(cos, 6) feeds
+    // hash-compared oracle rows in dedup_embedding / decontam_emb
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    // 500×50 pairs — bounded, covers every corpus vector on both sides
+    val pairs = a.join(b.filter(col("ib") % 10 === 0), col("ia") =!= col("ib"))
+      .select(
+        hashExprs.cosine_sim(col("ea"), col("eb")).as("fast"),
+        graft.sim.Knn.cosineHof(col("ea"), col("eb")).as("slow"))
+    assert(pairs.filter(!(col("fast") <=> col("slow"))).count() === 0L)
+    assert(pairs.count() === 500L * 50L - 50L)
+    // null semantics match the HOF: null array, length mismatch, null elem
+    val edge = spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(NULL AS array<float>), array(1.0f, 2.0f)),
+        |  (array(1.0f, 2.0f, 3.0f),    array(1.0f, 2.0f)),
+        |  (array(1.0f, CAST(NULL AS float)), array(1.0f, 2.0f))
+        |AS t(x, y)""".stripMargin)
+      .select(hashExprs.cosine_sim(col("x"), col("y")).as("fast"),
+        graft.sim.Knn.cosineHof(col("x"), col("y")).as("slow"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      assert(r.isNullAt(0), s"expected null, got $r")
+    }
+  }
 }
