@@ -1222,15 +1222,21 @@ object OracleSql {
       |  CAST(max(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
       |    THEN len(embedding) END) AS BIGINT) AS dim_max,
       |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+      |    AND len(list_filter(embedding, x -> x IS NULL)) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nullelem,
+      |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+      |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
       |    AND len(list_filter(embedding,
       |          x -> isnan(x) OR abs(x) > 3.4028235e38)) > 0
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
       |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+      |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
       |    AND len(list_filter(embedding,
       |          x -> isnan(x) OR abs(x) > 3.4028235e38)) = 0
       |    AND len(list_filter(embedding, x -> x <> 0)) = 0
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
       |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+      |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
       |    AND len(list_filter(embedding,
       |          x -> isnan(x) OR abs(x) > 3.4028235e38)) = 0
       |    AND len(list_filter(embedding, x -> x <> 0)) > 0

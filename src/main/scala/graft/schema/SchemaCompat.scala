@@ -31,6 +31,42 @@ object SchemaCompat {
   def compatible(newSchema: RecordSchema, oldSchema: RecordSchema): Boolean =
     check(newSchema, oldSchema).forall(_.compatible)
 
+  /** FORWARD (writer-side) compatibility — can consumers still running the
+    * OLD schema safely read data written under the NEW one? (The registry
+    * FORWARD mode; r4 VERDICT "what's missing" #3.)
+    *
+    * This is exactly the dual of [[check]]: the old schema plays the
+    * reader against data written by the new, so every resolution rule
+    * (type promotion, added-needs-default, constraint containment) applies
+    * with the arguments swapped — no second rule set to keep in sync.
+    * Consequences of the swap, which is why no relabeling is done:
+    *   - a field REMOVED in the new schema surfaces as `added` — correct:
+    *     the old reader must default the now-missing column;
+    *   - a constraint LOOSENED in the new schema surfaces as
+    *     `range_tightened` — correct: newly-written rows can exceed what
+    *     old-schema validation accepts.
+    * Findings are therefore worded from the consuming (old) reader's
+    * perspective; `field` paths are unaffected.
+    */
+  def forward(newSchema: RecordSchema, oldSchema: RecordSchema): Seq[Finding] =
+    check(oldSchema, newSchema)
+
+  /** True iff no forward finding is incompatible. */
+  def forwardCompatible(newSchema: RecordSchema, oldSchema: RecordSchema): Boolean =
+    forward(newSchema, oldSchema).forall(_.compatible)
+
+  /** FULL compatibility (registry FULL mode): both directions hold —
+    * old data remains readable+valid under the new schema (backward) AND
+    * new data remains readable+valid under the old (forward). Report is
+    * the two directions' findings, tagged by direction.
+    */
+  def full(newSchema: RecordSchema, oldSchema: RecordSchema): Seq[(String, Finding)] =
+    check(newSchema, oldSchema).map("backward" -> _) ++
+      forward(newSchema, oldSchema).map("forward" -> _)
+
+  def fullCompatible(newSchema: RecordSchema, oldSchema: RecordSchema): Boolean =
+    full(newSchema, oldSchema).forall(_._2.compatible)
+
   private def checkFields(newFs: Seq[FieldSpec], oldFs: Seq[FieldSpec],
                           prefix: String): Seq[Finding] = {
     val oldByName = oldFs.map(f => f.name -> f).toMap

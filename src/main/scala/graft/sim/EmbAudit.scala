@@ -30,14 +30,26 @@ import org.apache.spark.sql.functions._
 object EmbAudit {
 
   /** One-row summary over the corpus; rows counted into exactly one of
-    * n_null / n_empty / n_nonfinite / n_zero / n_valid (first failing
-    * class wins, in that order), plus the observed dim range over
-    * non-empty vectors (dim_min = dim_max ⟺ consistent dimension).
+    * n_null / n_empty / n_nullelem / n_nonfinite / n_zero / n_valid
+    * (first failing class wins, in that order), plus the observed dim
+    * range over non-empty vectors (dim_min = dim_max ⟺ consistent
+    * dimension).
+    *
+    * n_nullelem exists because of three-valued logic (ADVICE r4): without
+    * it, `exists(e, nonfinite-pred)` over a vector containing a NULL
+    * element returns NULL, every class predicate collapses to false, and
+    * the row lands in NO class — silently breaking the exactly-once
+    * partition — while DuckDB's list_filter drops NULL elements and
+    * classifies the row. `exists(e, isnull)` itself is never NULL (the
+    * inner predicate is definite), so gating the later classes on
+    * !hasNullElem makes their exists predicates definite too and the
+    * partition provably exhaustive.
     */
   def summary(df: DataFrame, vecCol: String): DataFrame = {
     val e = col(vecCol)
     val present = e.isNotNull
     val dim = size(e)
+    val hasNullElem = exists(e, x => x.isNull)
     val nonfinite = exists(e, x => isnan(x) || abs(x) > lit(3.4028235e38))
     val zero = !exists(e, x => x =!= lit(0.0f))
     df.agg(
@@ -46,11 +58,13 @@ object EmbAudit {
       sum(when(present && dim === 0, 1L).otherwise(0L)).as("n_empty"),
       min(when(present && dim > 0, dim)).cast("long").as("dim_min"),
       max(when(present && dim > 0, dim)).cast("long").as("dim_max"),
-      sum(when(present && dim > 0 && nonfinite, 1L).otherwise(0L))
+      sum(when(present && dim > 0 && hasNullElem, 1L).otherwise(0L))
+        .as("n_nullelem"),
+      sum(when(present && dim > 0 && !hasNullElem && nonfinite, 1L).otherwise(0L))
         .as("n_nonfinite"),
-      sum(when(present && dim > 0 && !nonfinite && zero, 1L).otherwise(0L))
-        .as("n_zero"),
-      sum(when(present && dim > 0 && !nonfinite && !zero, 1L).otherwise(0L))
-        .as("n_valid"))
+      sum(when(present && dim > 0 && !hasNullElem && !nonfinite && zero, 1L)
+        .otherwise(0L)).as("n_zero"),
+      sum(when(present && dim > 0 && !hasNullElem && !nonfinite && !zero, 1L)
+        .otherwise(0L)).as("n_valid"))
   }
 }

@@ -432,24 +432,35 @@ class OpsSpec extends SparkTestBase {
     assert(viaCols.exceptAll(viaBatch).count() === 0L)
   }
 
-  test("embedding audit classifies null/empty/NaN/Inf/zero/valid rows exactly once each") {
-    val rows: Seq[Option[Seq[Float]]] = Seq(
+  test("embedding audit classifies null/empty/nullelem/NaN/Inf/zero/valid rows exactly once each") {
+    // the null-ELEMENT row is the ADVICE r4 case: under three-valued logic
+    // an ungated exists() returns NULL for it and the row lands in NO
+    // class — the explicit n_nullelem class keeps the partition exhaustive
+    val rows: Seq[Option[Seq[java.lang.Float]]] = Seq(
       None,                                  // null
-      Some(Seq.empty[Float]),                // empty
-      Some(Seq(Float.NaN, 1f)),              // non-finite (NaN)
-      Some(Seq(Float.PositiveInfinity)),     // non-finite (Inf), dim 1
-      Some(Seq(0f, 0f)),                     // zero vector
-      Some(Seq(1f, 2f)),                     // valid
-      Some(Seq(0f, 3f)))                     // valid (partial zeros are fine)
+      Some(Seq.empty[java.lang.Float]),      // empty
+      Some(Seq[java.lang.Float](1f, null)),  // null element
+      Some(Seq[java.lang.Float](null, Float.NaN)), // null elem wins over NaN
+      Some(Seq[java.lang.Float](Float.NaN, 1f)),   // non-finite (NaN)
+      Some(Seq[java.lang.Float](Float.PositiveInfinity)), // non-finite, dim 1
+      Some(Seq[java.lang.Float](0f, 0f)),    // zero vector
+      Some(Seq[java.lang.Float](1f, 2f)),    // valid
+      Some(Seq[java.lang.Float](0f, 3f)))    // valid (partial zeros are fine)
     val df = rows.toDF("embedding")
     val r = EmbAudit.summary(df, "embedding").head()
-    assert(r.getAs[Long]("n_total") === 7L)
+    assert(r.getAs[Long]("n_total") === 9L)
     assert(r.getAs[Long]("n_null") === 1L)
     assert(r.getAs[Long]("n_empty") === 1L)
+    assert(r.getAs[Long]("n_nullelem") === 2L)
     assert(r.getAs[Long]("n_nonfinite") === 2L)
     assert(r.getAs[Long]("n_zero") === 1L)
     assert(r.getAs[Long]("n_valid") === 2L)
     assert(r.getAs[Long]("dim_min") === 1L)
     assert(r.getAs[Long]("dim_max") === 2L)
+    // the partition is exhaustive: every row lands in exactly one class
+    assert(r.getAs[Long]("n_null") + r.getAs[Long]("n_empty") +
+      r.getAs[Long]("n_nullelem") + r.getAs[Long]("n_nonfinite") +
+      r.getAs[Long]("n_zero") + r.getAs[Long]("n_valid") ===
+      r.getAs[Long]("n_total"))
   }
 }

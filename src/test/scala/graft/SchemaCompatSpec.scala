@@ -135,4 +135,60 @@ class SchemaCompatSpec extends AnyFunSuite {
     assert(SchemaCompat.check(changed, base).exists(f =>
       f.change == "type_changed" && !f.compatible))
   }
+
+  test("forward: loosened range breaks old readers, tightened is fine") {
+    // widen n_tok's max — backward-compatible (old rows still fit), but
+    // FORWARD-incompatible: new writers can emit n_tok=20000, which the
+    // old schema's validator rejects
+    val wider = rec("V2", base.fields.map {
+      case f if f.name == "n_tok" => f.copy(max = Some(20000L))
+      case f => f
+    }: _*)
+    assert(SchemaCompat.compatible(wider, base))
+    assert(!SchemaCompat.forwardCompatible(wider, base))
+    assert(SchemaCompat.forward(wider, base).exists(f =>
+      f.field == "n_tok" && f.change == "range_tightened" && !f.compatible))
+    // the mirror: tightening is forward-compatible, backward-incompatible
+    val tighter = rec("V2", base.fields.map {
+      case f if f.name == "n_tok" => f.copy(max = Some(100L))
+      case f => f
+    }: _*)
+    assert(!SchemaCompat.compatible(tighter, base))
+    assert(SchemaCompat.forwardCompatible(tighter, base))
+  }
+
+  test("forward: removed field needs an old-side default; added optional field is fine") {
+    // drop an optional field — new writers stop writing `lang`; the OLD
+    // reader treats it as missing, and since it's optional there, fine
+    val dropped = rec("V2", base.fields.filterNot(_.name == "lang"): _*)
+    assert(SchemaCompat.forwardCompatible(dropped, base))
+    assert(SchemaCompat.forward(dropped, base).exists(f =>
+      f.field == "lang" && f.change == "added" && f.compatible))
+    // drop a REQUIRED-without-default field — old readers break
+    val droppedReq = rec("V2", base.fields.filterNot(_.name == "n_tok"): _*)
+    assert(!SchemaCompat.forwardCompatible(droppedReq, base))
+    // add an optional field in new — old readers just ignore the column
+    val added = rec("V2", base.fields :+ FieldSpec("extra", TextT): _*)
+    assert(SchemaCompat.forwardCompatible(added, base))
+    assert(SchemaCompat.forward(added, base).exists(f =>
+      f.field == "extra" && f.change == "removed" && f.compatible))
+  }
+
+  test("full mode is the conjunction, tagged by direction") {
+    // enum extension: backward ok (supersets load), forward NOT (new
+    // writers emit the new symbol, old validators reject it)
+    val extended = rec("V2", base.fields.map {
+      case f if f.name == "lang" => f.copy(ftype = EnumT(Seq("de", "en", "fr")))
+      case f => f
+    }: _*)
+    assert(SchemaCompat.compatible(extended, base))
+    assert(!SchemaCompat.fullCompatible(extended, base))
+    val byDir = SchemaCompat.full(extended, base).groupBy(_._1)
+    assert(byDir("backward").forall(_._2.compatible))
+    assert(byDir("forward").exists(f =>
+      f._2.change == "enum_narrowed" && !f._2.compatible))
+    // identical schemas are FULL-compatible with zero findings
+    assert(SchemaCompat.full(base, base).isEmpty)
+    assert(SchemaCompat.fullCompatible(base, base))
+  }
 }

@@ -24,6 +24,15 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# ADVICE r4: a typo'd skip name silently skips NOTHING while the operator
+# believes a query was excluded — fail fast on names the oracle map
+# doesn't know, and record what was actually skipped in the emitted report.
+unknown_skips = sorted(skip - set(oracle))
+if unknown_skips:
+    print(f"ERROR: GRAFT_ORACLE_SKIP names not in oracle map: {unknown_skips}")
+    sys.exit(2)
+skipped = []
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -39,9 +48,11 @@ def canon(rows, cols):
     return sorted(out)
 
 fails = []
+oks = []
 for name, sql in sorted(oracle.items()):
     if name in skip:
         print(f"SKIP {name} (GRAFT_ORACLE_SKIP)")
+        skipped.append(name)
         continue
     try:
         spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
@@ -67,16 +78,21 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f"values differ, first diffs: {diff}"))
         continue
     print(f"OK   {name} ({len(srows)} rows)")
-
-for name in sorted(json.load(open(f"{outdir}/oracle_sql.json")).keys() ^ set()):
-    pass
+    oks.append(name)
 
 # report queries without oracle (rows-only)
-import os
+rows_only = []
 for name in sorted(os.listdir(outdir)):
     if os.path.isdir(f"{outdir}/{name}") and name not in oracle:
         n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
         print(f"ROWS {name} ({n} rows, no oracle)")
+        rows_only.append(name)
+
+# durable machine-readable report next to the compared outputs — in
+# particular records WHAT was skipped (ADVICE r4), not just prints it
+with open(f"{outdir}/compare_report.json", "w") as f:
+    json.dump({"ok": oks, "skipped": skipped, "rows_only": rows_only,
+               "fails": [{"name": n, "why": m} for n, m in fails]}, f, indent=1)
 
 if fails:
     print("\nFAILURES:")
