@@ -46,8 +46,23 @@ object Validator {
   def violations(df: DataFrame, schema: RecordSchema, keyCol: String,
                  dims: Map[String, DataFrame]): DataFrame = {
     val refs = schema.tableConstraints.collect { case r: RefIntegrity => r }
-    val (probed, refChecks) = refs.zipWithIndex
-      .foldLeft((df, Seq.empty[org.apache.spark.sql.Column])) {
+    // ROW-CONSTRAINT FLAG COLUMNS (round 5): each row predicate becomes a
+    // boolean column computed BEFORE the dim joins, in the same projection
+    // that produces (or scans) the row — so every downstream consumer
+    // (the pre-filter, the explode fan-out) references one byte per
+    // constraint instead of the raw columns. Two wins at 10^12 rows:
+    //  1. on GENERATED input, CollapseProject merges the flag definitions
+    //     into the generator projection, where FuseGenChecks' in-tree
+    //     rewrites (bounds / size / isnull) eliminate the token ARRAY from
+    //     the entire violation scan — no consumer of the array remains, so
+    //     ColumnPruning deletes the ~1 KB/row allocation outright (pinned
+    //     by PlanSpec);
+    //  2. the predicates are evaluated exactly ONCE per row even though
+    //     both the pre-filter and the fan-out need them.
+    val flagged = schema.rowConstraints.zipWithIndex
+      .foldLeft(df) { case (acc, (c, i)) => acc.withColumn(s"_v_$i", c.violates) }
+    val (probed, refPreds) = refs.zipWithIndex
+      .foldLeft((flagged, Seq.empty[(org.apache.spark.sql.Column, String)])) {
         case ((acc, cs), (r, i)) =>
           val dim = dims.getOrElse(r.dimTable,
             sys.error(s"dimension '${r.dimTable}' not supplied"))
@@ -55,12 +70,26 @@ object Validator {
           val passSet = dim.select(col(r.dimColumn).as(r.column)).distinct()
             .withColumn(marker, lit(true))
           (acc.join(broadcast(passSet), Seq(r.column), "left"),
-            cs :+ when(col(r.column).isNotNull && col(marker).isNull, lit(r.id)))
+            cs :+ ((col(r.column).isNotNull && col(marker).isNull, r.id)))
       }
-    val rowIds = schema.rowConstraints.map(c => when(c.violates, lit(c.id)))
-    require(rowIds.nonEmpty || refChecks.nonEmpty, "no row constraints to compile")
-    val fused = probed.select(Seq(col(keyCol)) :+
-        explode(array(rowIds ++ refChecks: _*)).as("constraint_id"): _*)
+    val rowPreds = schema.rowConstraints.zipWithIndex
+      .map { case (c, i) => (col(s"_v_$i"), c.id) }
+    val preds = rowPreds ++ refPreds
+    require(preds.nonEmpty, "no row constraints to compile")
+    // PRE-FILTER before the fan-out (round 5): violations are anomalies,
+    // so the explode(array(...)) — which allocates a per-row array and
+    // runs a Generate loop for EVERY input row — is wasted on the ~100%
+    // clean majority. Gating on one boolean OR (no allocation; same
+    // TRUE-iff-emitting semantics as the old per-element null filter:
+    // a row emits constraint c iff c's predicate is TRUE, and the OR is
+    // TRUE iff some predicate is) moves the allocation + Generate cost to
+    // violating rows only. Measured at 5×10^7 generated rows: suite wall
+    // −18% at 8 cores, −19% at 32 (flags + pre-filter + array pruning).
+    val anyViolation = preds.map(_._1).reduce(_ || _)
+    val fused = probed.filter(anyViolation)
+      .select(Seq(col(keyCol)) :+
+        explode(array(preds.map { case (p, id) => when(p, lit(id)) }: _*))
+          .as("constraint_id"): _*)
       .filter(col("constraint_id").isNotNull)
     val table = schema.tableConstraints.flatMap {
       case u: Unique =>
