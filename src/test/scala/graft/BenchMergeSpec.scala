@@ -21,9 +21,50 @@ class BenchMergeSpec extends AnyFunSuite {
        |""".stripMargin +
       s"\n| query | sec |\n|---|---|\n$opTable\n"
 
-  test("first run writes the new record verbatim") {
+  // the lead-exhibit block (r5) is rebuilt and re-inserted on every run
+  // between HTML markers — strip it to compare the merged body
+  private def stripLead(s: String): String = {
+    val b = s.indexOf("<!-- LEAD:BEGIN -->")
+    val e = s.indexOf("<!-- LEAD:END -->")
+    if (b < 0 || e < b) s
+    else (s.substring(0, b).stripTrailing() +
+      s.substring(e + "<!-- LEAD:END -->".length))
+      .replace("# BENCH — measured\n\n", "# BENCH — measured\n")
+  }
+
+  test("first run writes the new record (body verbatim + fresh lead exhibit)") {
     val md = record(0.50, "| q1_agg | 0.5 |")
-    assert(Bench.mergeBaseline(None, md, 0.50, 0.1, 0.2) == md)
+    val out = Bench.mergeBaseline(None, md, 0.50, 0.1, 0.2)
+    assert(out.contains("Lead exhibit"))
+    assert(out.contains("| 8 -> 32 | **0.500** | saturated-bus CONTROL |"))
+    assert(stripLead(out) == md)
+  }
+
+  test("lead exhibit is replaced, not duplicated, and reflects the RETAINED record") {
+    val md1 = record(0.60, "| q1_agg | 0.5 |")
+    val out1 = Bench.mergeBaseline(None, md1, 0.60, 0.1, 0.2)
+    // second, WORSE run: retained header eff must appear in the lead table
+    val md2 = record(0.40, "| q1_agg | 0.6 |")
+    val out2 = Bench.mergeBaseline(Some(out1), md2, 0.40, 0.0, 0.0)
+    assert("<!-- LEAD:BEGIN -->".r.findAllIn(out2).size == 1, "one lead block")
+    assert(out2.contains("| 8 -> 32 | **0.600** | saturated-bus CONTROL |"),
+      "lead table must carry the retained best-window efficiency")
+  }
+
+  test("spill degradation table: latest values win, previous merged forward when the rep skipped") {
+    val md1 = record(0.60, "| q1_agg | 0.5 |")
+    val out1 = Bench.mergeBaseline(None, md1, 0.60, 0.1, 0.2,
+      t8 = 80.0, t32 = 30.0,
+      tSpill8 = 120.0, tSpill32 = 60.0, spillMb8 = 9000L, spillMb32 = 9100L)
+    assert(out1.contains("SPILL-TABLE"))
+    assert(out1.contains("| 8 | 120.00 | 9000 MB | 1.50x |"))
+    assert(out1.contains("| 32 | 60.00 | 9100 MB | 2.00x |"))
+    // next run skips the spill rep: the recorded evidence survives
+    val md2 = record(0.60, "| q1_agg | 0.5 |")
+    val out2 = Bench.mergeBaseline(Some(out1), md2, 0.55, 0.0, 0.0,
+      t8 = 80.0, t32 = 30.0)
+    assert(out2.contains("| 8 | 120.00 | 9000 MB | 1.50x |"),
+      "skipped rep must not erase the recorded spill evidence")
   }
 
   test("better new efficiency replaces the scaling block") {
@@ -74,9 +115,9 @@ class BenchMergeSpec extends AnyFunSuite {
 
   test("unparseable or marker-less previous file is replaced, not corrupted") {
     val md = record(0.30, "| q1_agg | 0.5 |")
-    assert(Bench.mergeBaseline(Some("garbage with no headline"), md, 0.30, 0.0, 0.0) == md)
+    assert(stripLead(Bench.mergeBaseline(Some("garbage with no headline"), md, 0.30, 0.0, 0.0)) == md)
     val prevNoMarker = "Scaling efficiency (8 -> 32 cores = N -> 4N): **0.9** but no table"
-    assert(Bench.mergeBaseline(Some(prevNoMarker), md, 0.30, 0.0, 0.0) == md)
+    assert(stripLead(Bench.mergeBaseline(Some(prevNoMarker), md, 0.30, 0.0, 0.0)) == md)
   }
 
   test("throughput record keeps the max across runs, independent of the efficiency block") {
