@@ -127,6 +127,20 @@ object SaltedUniqueness {
       // set) is false — run the plain skew-safe aggregate, which never
       // broadcasts anything
       duplicates(df, key)
+    } else if (dupHashes.isEmpty) {
+      // ZERO candidate hashes — the expected steady state of a validated
+      // production table. Every true duplicate key's hash IS a duplicate
+      // hash, so an empty candidate set PROVES no duplicates exist and the
+      // whole verify pass is empty. Encode that as Filter(false) on the
+      // same plan shape: PropagateEmptyRelation folds it to an empty
+      // LocalRelation and — decisive at suite level — deletes this branch
+      // from the violations UNION outright, removing an entire corpus
+      // scan from the main job (measured: the unique probe branch was one
+      // of three full-input branches in the 2×10^8-row headline job).
+      // Schema is identical to the join path by construction.
+      df.filter(lit(false))
+        .filter(col(key).isNotNull)
+        .groupBy(col(key)).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
     } else {
       // ≤ maxBroadcastKeys 8-byte hashes, shipped as a LocalRelation: the
       // broadcast build is a driver-local copy, no cache entry, no second

@@ -46,12 +46,25 @@ class PlanSpec extends SparkTestBase {
     assert(!readSchema.contains("tokens"), readSchema)
   }
 
-  test("referential check plans a broadcast join, never a shuffle of the fact side") {
+  test("referential check: small dim compiles to an InSet scan predicate, " +
+      "big dim to a broadcast join — never a shuffle of the fact side") {
     val docs = SyntheticTokens.readDocuments(spark, dir)
-    val plan = planString(graft.ref.ReferentialCheck.orphans(
+    // small dim (20 sources): plan-literal InSet — no join operator at all
+    // (r5: a 20-entry STRING HashedRelation probe anti-scales at 32
+    // threads; the literal set rides whole-stage codegen task-locally)
+    val small = planString(graft.ref.ReferentialCheck.orphans(
       SyntheticTokens.clean(docs), "source", SyntheticTokens.sourcesDim(docs), "source"))
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!small.contains("Join"), small)
+    assert(small.contains("Filter"), small)
+    // dim above the InSet gate: the broadcast anti-join shape, fact side
+    // never shuffled
+    import spark.implicits._
+    val bigDim = spark.range(0L, graft.ref.ReferentialCheck.MaxInSetKeys + 10L, 1L, 2)
+      .select(concat(lit("src"), col("id").cast("string")).as("source"))
+    val big = planString(graft.ref.ReferentialCheck.orphans(
+      SyntheticTokens.clean(docs), "source", bigDim, "source"))
+    assert(big.contains("BroadcastHashJoin") || big.contains("BroadcastNestedLoopJoin"), big)
+    assert(!big.contains("SortMergeJoin"), big)
   }
 
   test("row-validation pass stays inside whole-stage codegen (no lambda fallback)") {
