@@ -66,17 +66,6 @@ object Curation {
       .drop("_prev")
   }
 
-  /** Word n-grams WITH duplicates (unlike hashExprs.word_shingles, which
-    * set-dedups for Jaccard): the raw occurrence list repetition metrics
-    * need. Empty array below n words — `sequence(0, size-n)` must be
-    * guarded because Spark's sequence steps DOWNWARD when stop < start.
-    */
-  private def ngramList(wordsCol: Column, n: Int): Column =
-    when(size(wordsCol) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(wordsCol) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(wordsCol, i + j + 1)): _*)))
-
   /** Benchmark decontamination: docs in `train` sharing any word n-gram
     * with `evalSet` (the held-out benchmark corpus) — the overlap filter
     * every serious pretraining pipeline runs so test sets don't leak into
@@ -155,18 +144,32 @@ object Curation {
     * plus a repetitive flag at the classic 0.2 / 0.18 thresholds. Pure
     * per-row column arithmetic: no shuffle at any scale, stays inside
     * whole-stage codegen alongside the other text_* scores.
+    *
+    * Computed WITHOUT materializing the gram list: the total occurrence
+    * count of n-grams is size(ws) − n + 1 (pure arithmetic on the words
+    * array) and the distinct count is the cardinality of the set-dedup'd
+    * [[graft.functions.hashExprs.word_shingles]] expression (identical
+    * " "-joined grams, one tight-loop eval per row). The r5 form built the
+    * full gram LIST via a transform(sequence)+element_at lambda, which
+    * CollapseProject inlines the upstream split() into — n regex re-splits
+    * of the full text PER GRAM, twice per dupFrac because both size(g) and
+    * array_distinct(g) re-evaluate the list (measured r6: doc_repetition
+    * 5.7 s → 0.4 s at sf0.1 from this change alone). Counts are the same
+    * integers, so 1.0 − d/t rounds bit-identically.
     */
-  private def dupFrac(g: Column): Column =
-    when(size(g) === 0, lit(0.0))
-      .otherwise(round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+  private def dupFracOfWords(ws: Column, n: Int): Column =
+    when(size(ws) < n, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        size(graft.functions.hashExprs.word_shingles(ws, n)).cast("double") /
+          (size(ws) - lit(n - 1)), 6))
 
   def repetitionScores(df: DataFrame, textCol: String, idCol: String,
                        dup2Max: Double = 0.2, dup3Max: Double = 0.18): DataFrame =
     df.select(col(idCol).as("doc_id"),
         graft.text.TextAnalysis.words(col(textCol)).as("_ws"))
       .select(col("doc_id"),
-        dupFrac(ngramList(col("_ws"), 2)).as("dup2_frac"),
-        dupFrac(ngramList(col("_ws"), 3)).as("dup3_frac"))
+        dupFracOfWords(col("_ws"), 2).as("dup2_frac"),
+        dupFracOfWords(col("_ws"), 3).as("dup3_frac"))
       .withColumn("repetitive",
         col("dup2_frac") > dup2Max || col("dup3_frac") > dup3Max)
 
@@ -200,8 +203,8 @@ object Curation {
         TextAnalysis.punctCount(col(textCol)).as("punct"),
         TextAnalysis.stopwordCount(col(textCol), stops).as("stops"))
       .select(col("doc_id"), col("words"), col("punct"), col("stops"),
-        dupFrac(ngramList(col("_ws"), 2)).as("dup2_frac"),
-        dupFrac(ngramList(col("_ws"), 3)).as("dup3_frac"),
+        dupFracOfWords(col("_ws"), 2).as("dup2_frac"),
+        dupFracOfWords(col("_ws"), 3).as("dup3_frac"),
         word_shingles(col("_ws"), n).as("_grams"))
       .withColumn("quality",
         TextAnalysis.qualityBucket(col("words"), col("stops"), col("punct")))

@@ -57,16 +57,6 @@ object Dedup {
   def shinglesOfWords(ws: Column): Column =
     graft.functions.hashExprs.word_shingles(ws, 3)
 
-  /** doc frame → (idCol as doc_id, sh). Shingle-less docs (<3 words) are
-    * dropped: they can't be n-gram near-dups, and at web scale every such
-    * doc would hash into the SAME MinHash band buckets — one quadratic hot
-    * bucket for the whole corpus.
-    */
-  private def withShingles(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        shinglesOfWords(TextAnalysis.words(col(textCol))).as("sh"))
-      .filter(size(col("sh")) > 0)
-
   def jaccard(a: Column, b: Column): Column = {
     // two empty sets: J = 0 (not a near-dup pair), and 0/0 would throw
     // under ANSI; candidate generation filters empty-shingle docs anyway
@@ -106,26 +96,46 @@ object Dedup {
       b => struct(b.as("band"),
         hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
 
-  /** (doc_id, band, bucket) rows of a shingled frame — the LSH index shape
-    * shared by the self-join (batch dedup) and bipartite (incremental
-    * screening) pipelines. In production this IS the persisted dedup index
-    * table: write it once per corpus snapshot, bucket-partitioned, and every
-    * incoming batch joins against it without re-signing history.
-    */
-  private def bucketize(t: DataFrame, numPerm: Int, bands: Int): DataFrame =
-    t.select(col("doc_id"), explode(
-        bandBuckets(minhashSignature(col("sh"), numPerm), bands, numPerm / bands)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-
   // Verify on 64-bit-hashed shingle sets, not the strings: xxhash64 is
   // injective on the ~dozens of distinct shingles per doc in practice
   // (collision odds ~1e-13 corpus-wide), the Jaccard VALUE is identical,
   // and long-array set intersection is several times cheaper than
   // string-array — at a band S-curve matched to a low threshold the
   // candidate verify dominates the whole pipeline.
-  private def hashedShingles(t: DataFrame): DataFrame =
-    t.select(col("doc_id"),
-      transform(col("sh"), x => xxhash64(x)).as("shh"), size(col("sh")).as("sz"))
+
+  /** (doc_id, shh: xxhash64'd distinct shingles, sz) — the per-doc dedup
+    * index, computed by ONE fused tight-loop expression
+    * ([[graft.functions.HashedWordShingles]]: split words → distinct
+    * " "-joined n-grams → 8-byte keys, no string array ever materialized)
+    * over one corpus scan, and PERSISTED: the same frame feeds the LSH
+    * bucketing (via [[graft.functions.MinHashFromHashes]] — bit-identical
+    * signatures from the pre-hashed shingles) and both sides of the
+    * candidate verify. The r5 pipeline evaluated WordShingles three times
+    * per query (bucketize + each verify side = three corpus scans); this
+    * shape scans and shingles once. In production this persisted frame IS
+    * the dedup index table: write it once per corpus snapshot and every
+    * batch joins against it without re-shingling history (the
+    * MEMORY_AND_DISK persist is the in-session stand-in for that table;
+    * it spills, never OOMs, and the session's cache teardown frees it).
+    */
+  private def hashedShingleIndex(df: DataFrame, textCol: String,
+                                 idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.hashExprs.hashed_word_shingles(
+          TextAnalysis.words(col(textCol)), 3).as("shh"))
+      // Shingle-less docs (<3 words) are dropped: they can't be n-gram
+      // near-dups, and at web scale every such doc would hash into the
+      // SAME MinHash band buckets — one quadratic hot bucket.
+      .filter(size(col("shh")) > 0)
+      .withColumn("sz", size(col("shh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (doc_id, band, bucket) rows of a hashed-shingle index frame. */
+  private def bucketize(th: DataFrame, numPerm: Int, bands: Int): DataFrame =
+    th.select(col("doc_id"), explode(
+        bandBuckets(graft.functions.hashExprs.minhash_from_hashes(
+          col("shh"), numPerm), bands, numPerm / bands)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
   /** Full MinHash-LSH near-dup pipeline:
     * shingle → sign → band → bucket self-join → Jaccard verify.
@@ -138,8 +148,8 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, numPerm: Int = 32, bands: Int = 16): DataFrame = {
-    val t = withShingles(df, textCol, idCol).select(col("doc_id"), col("sh"))
-    val bucketed = bucketize(t, numPerm, bands)
+    val th = hashedShingleIndex(df, textCol, idCol)
+    val bucketed = bucketize(th, numPerm, bands)
     val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
@@ -147,7 +157,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in several bands
     // The size-ratio prefilter is exact: J(A,B) <= min|A|,|B| / max|A|,|B|.
-    val th = hashedShingles(t)
     pairs
       .join(th.select(col("doc_id").as("doc_a"), col("shh").as("sha"), col("sz").as("sza")), Seq("doc_a"))
       .join(th.select(col("doc_id").as("doc_b"), col("shh").as("shb"), col("sz").as("szb")), Seq("doc_b"))
@@ -176,17 +185,15 @@ object Dedup {
   def minhashLshPairsAgainst(history: DataFrame, batch: DataFrame,
                              textCol: String, idCol: String, threshold: Double,
                              numPerm: Int = 32, bands: Int = 16): DataFrame = {
-    val ht = withShingles(history, textCol, idCol).select(col("doc_id"), col("sh"))
-    val bt = withShingles(batch, textCol, idCol).select(col("doc_id"), col("sh"))
-    val pairs = bucketize(ht, numPerm, bands)
+    val hh = hashedShingleIndex(history, textCol, idCol)
+    val bh = hashedShingleIndex(batch, textCol, idCol)
+    val pairs = bucketize(hh, numPerm, bands)
       .select(col("band"), col("bucket"), col("doc_id").as("doc_hist"))
-      .join(bucketize(bt, numPerm, bands)
+      .join(bucketize(bh, numPerm, bands)
           .select(col("band"), col("bucket"), col("doc_id").as("doc_new")),
         Seq("band", "bucket"))
       .select(col("doc_hist"), col("doc_new"))
       .dropDuplicates("doc_hist", "doc_new") // several bands may collide
-    val hh = hashedShingles(ht)
-    val bh = hashedShingles(bt)
     pairs
       .join(hh.select(col("doc_id").as("doc_hist"), col("shh").as("sha"), col("sz").as("sza")), Seq("doc_hist"))
       .join(bh.select(col("doc_id").as("doc_new"), col("shh").as("shb"), col("sz").as("szb")), Seq("doc_new"))
@@ -226,10 +233,9 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        tau: Double, dfCap: Int = 100): DataFrame = {
-    val t = withShingles(df, textCol, idCol)
-    val postings = t
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val th = hashedShingleIndex(df, textCol, idCol)
+    val postings = th
+      .select(col("doc_id"), explode(col("shh")).as("gh"))
       .groupBy(col("gh"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= dfCap)
@@ -238,7 +244,6 @@ object Dedup {
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val th = hashedShingles(t)
     cand
       .join(th.select(col("doc_id").as("doc_a"), col("shh").as("sha"), col("sz").as("sza")), Seq("doc_a"))
       .join(th.select(col("doc_id").as("doc_b"), col("shh").as("shb"), col("sz").as("szb")), Seq("doc_b"))
@@ -433,8 +438,81 @@ object Dedup {
     * an error instead of returning a partial labeling if maxIter is hit —
     * a silently under-merged group table would poison downstream dedup.
     */
+  /** Pair-count gate below which the whole edge list is collected and
+    * solved with a driver-side union-find (see [[duplicateGroups]]).
+    * 2M (src, dst) longs ≈ 32 MB — the same bounded-collect budget as
+    * SaltedUniqueness's gated dup-hash collect. */
+  val DriverPairCap = 2000000L
+
   def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String,
-                      maxIter: Int = 50): DataFrame = {
+                      maxIter: Int = 50,
+                      driverPairCap: Long = DriverPairCap): DataFrame = {
+    // Near-dup PAIRS are anomaly-sized (bounded by the corpus's duplication
+    // rate, not its row count) — the same argument that lets split_safe /
+    // effective_size broadcast the finished group table. When the pair
+    // count is under `driverPairCap` (counted from the persisted pair
+    // frame — one job), collect the ≤32 MB edge list and run a union-find
+    // on the driver: one collect job replaces O(log n) iterative rounds of
+    // join+aggregate+localCheckpoint jobs (measured r6: the CC phase of
+    // dedup_groups drops from ~1.9 s to ~0.3 s at sf0.1; at 32 cores each
+    // distributed round is fixed-latency, not bandwidth). Components,
+    // min-id labels and exemplars are identical by construction — union
+    // attaches the larger root under the smaller, so every root IS its
+    // component's minimum id. Above the cap (or for non-long ids) the
+    // iterative label-propagation path below runs unchanged — the 100 TB
+    // shape, O(|E|) shuffle per round, never driver-sided.
+    if (pairs.schema(aCol).dataType ==
+        org.apache.spark.sql.types.LongType) {
+      val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (p.count() > driverPairCap) {
+          // over the cap: run the distributed path on the already-persisted
+          // pair frame (cache hit — the pair pipeline is not re-executed;
+          // the iterative label work is all eager, so unpersist in finally
+          // is safe)
+          duplicateGroupsIterative(p, "src", "dst", maxIter)
+        } else {
+          val edges = p.collect()
+          val parent = new scala.collection.mutable.LongMap[Long](
+            math.max(16, edges.length * 2))
+          def find(x0: Long): Long = {
+            var r = x0
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x0
+            while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          edges.foreach { row =>
+            val a = row.getLong(0); val b = row.getLong(1)
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          }
+          val rows = parent.keys.toArray.sorted.map { id =>
+            val g = find(id)
+            org.apache.spark.sql.Row(g, id, id == g)
+          }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("group_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("keep",
+              org.apache.spark.sql.types.BooleanType, nullable = false)))
+          pairs.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              java.util.Arrays.asList(rows: _*)), schema)
+        }
+      } finally p.unpersist(blocking = false)
+    } else duplicateGroupsIterative(pairs, aCol, bCol, maxIter)
+  }
+
+  /** Distributed label propagation with path halving — the above-cap /
+    * generic-id path of [[duplicateGroups]]; semantics identical. */
+  private[graft] def duplicateGroupsIterative(pairs: DataFrame, aCol: String,
+                                              bCol: String,
+                                              maxIter: Int = 50): DataFrame = {
     // Both edge orientations from ONE scan of the pair pipeline (a union of
     // two selects would run the upstream LSH pipeline twice to materialize
     // the persist — measured ~2x the whole pair-generation cost).

@@ -62,6 +62,106 @@ final case class MinHashSignature(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature from PRE-HASHED shingles: identical output to
+  * [[MinHashSignature]] when fed `xxhash64(shingle)` longs (same XXH64
+  * seed 42 as the builtin — the string hash is folded to
+  * ((h mod P)+P) mod P exactly as there, then the same (2j+1)·h + 97911·j
+  * permuted minima). Exists so one [[HashedWordShingles]] pass per corpus
+  * scan can feed BOTH the LSH bucketing and the exact-Jaccard verify
+  * (r5's pipeline evaluated WordShingles three times per query: bucketize
+  * + each verify side). Equivalence to MinHashSignature∘strings is
+  * property-tested in ExpressionsSpec.
+  */
+final case class MinHashFromHashes(child: Expression, numPerm: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 1000000007L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      hs(i) = ((h % P) + P) % P
+      i += 1
+    }
+    val sig = new Array[Long](numPerm)
+    var j = 0
+    while (j < numPerm) {
+      val a = j * 2L + 1L
+      val b = j * 97911L
+      var mn = Long.MaxValue
+      var k = 0
+      while (k < n) {
+        val v = (hs(k) * a + b) % P
+        if (v < mn) mn = v
+        k += 1
+      }
+      sig(j) = if (n == 0) 0L else mn
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** XXH64(seed 42) of each DISTINCT word n-gram — the fused
+  * [[WordShingles]] ∘ xxhash64 pipeline in one eval: grams are built and
+  * set-deduped exactly as WordShingles does (LinkedHashSet of the
+  * " "-joined UTF8Strings — dedup is on STRINGS, so a hash collision can
+  * never merge two distinct grams here), then each surviving gram is
+  * hashed once and only the 8-byte keys leave the expression. Output
+  * values equal `transform(word_shingles(ws, n), s -> xxhash64(s))`
+  * element-for-element (ExpressionsSpec), but the per-doc string array is
+  * never materialized into the row.
+  */
+final case class HashedWordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle width out of range: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) new GenericArrayData(Array.empty[Long])
+    else {
+      val sep = UTF8String.fromString(" ")
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var j = 0
+      while (j <= len - n) {
+        val parts = new Array[UTF8String](n)
+        var k = 0
+        while (k < n) { parts(k) = arr.getUTF8String(j + k); k += 1 }
+        seen.add(UTF8String.concatWs(sep, parts: _*))
+        j += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) {
+        val s = it.next()
+        out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes(), 42L)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 63-bit SimHash over a word array. The word hash is a PURE-ARITHMETIC
   * polynomial (h = fold (h*131 + codepoint) mod P over characters, P =
   * 1e9+7) and bit b's ±1 vote is the parity of (h*(2b+3) + 7919*(b+1))
@@ -490,6 +590,12 @@ object hashExprs {
 
   def minhash_signature(shingles: Column, numPerm: Int): Column =
     toCol(MinHashSignature(toExpr(shingles), numPerm))
+
+  def minhash_from_hashes(hashedShingles: Column, numPerm: Int): Column =
+    toCol(MinHashFromHashes(toExpr(hashedShingles), numPerm))
+
+  def hashed_word_shingles(words: Column, n: Int): Column =
+    toCol(HashedWordShingles(toExpr(words), n))
 
   def word_shingles(words: Column, n: Int): Column =
     toCol(WordShingles(toExpr(words), n))

@@ -101,6 +101,32 @@ class ExpressionsSpec extends SparkTestBase {
     assert(agree >= 4 && agree < 32)
   }
 
+  test("HashedWordShingles equals transform(word_shingles, xxhash64) element-for-element, " +
+      "and MinHashFromHashes over it equals MinHashSignature over the strings") {
+    // bit-identity is the contract: the r6 dedup pipelines bucket and
+    // verify from ONE HashedWordShingles pass, and the oracle hash rows
+    // (dedup_* / lsh_screen / split_safe family) depend on the signatures
+    // and hashed shingle sets being exactly the r5 values
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), graft.text.TextAnalysis.words(col("text")).as("ws"))
+    val both = d.select(col("doc_id"),
+      hashExprs.hashed_word_shingles(col("ws"), 3).as("fused"),
+      transform(hashExprs.word_shingles(col("ws"), 3), x => xxhash64(x)).as("twoStep"),
+      hashExprs.minhash_from_hashes(
+        transform(hashExprs.word_shingles(col("ws"), 3), x => xxhash64(x)), 32).as("sigH"),
+      hashExprs.minhash_signature(hashExprs.word_shingles(col("ws"), 3), 32).as("sigS"))
+    assert(both.filter(col("fused") =!= col("twoStep")).count() === 0L)
+    assert(both.filter(col("sigH") =!= col("sigS")).count() === 0L)
+    // empty-input edge: <n words ⇒ empty hash array, signature all zeros
+    import spark.implicits._
+    val short = Seq((1L, Seq("only", "two"))).toDF("id", "ws").select(
+      hashExprs.hashed_word_shingles(col("ws"), 3).as("h"),
+      hashExprs.minhash_from_hashes(hashExprs.hashed_word_shingles(col("ws"), 3), 4).as("sig"))
+      .head()
+    assert(short.getSeq[Long](0).isEmpty)
+    assert(short.getSeq[Long](1) === Seq(0L, 0L, 0L, 0L))
+  }
+
   test("SimHash63: deterministic, near-identical docs have small hamming distance") {
     import spark.implicits._
     val words = (1 to 60).map(i => s"word$i")

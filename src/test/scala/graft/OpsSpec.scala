@@ -172,6 +172,23 @@ class OpsSpec extends SparkTestBase {
     assert(Dedup.duplicateGroups(empty, "doc_a", "doc_b").count() === 0)
   }
 
+  test("duplicateGroups driver union-find and distributed label propagation " +
+       "produce identical group tables") {
+    // driverPairCap = 0 forces the iterative path on the same input; the
+    // r6 under-cap path must be row-identical (group_id = component min,
+    // keep = exemplar flag) including on chains that exercise path halving
+    val chain = (20L until 40L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 10L)) ++ chain)
+      .toDF("doc_a", "doc_b")
+    val fast = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val slow = Dedup.duplicateGroups(pairs, "doc_a", "doc_b",
+        maxIter = 50, driverPairCap = 0L)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(fast === slow)
+    assert(fast.nonEmpty)
+  }
+
   test("embedding dedup: dense cluster stays bounded under the bucket cap " +
        "and reassembles into one group via chain edges") {
     // 400 identical embeddings — the adversarial dense cluster: every band
