@@ -120,9 +120,13 @@ object Dedup {
     */
   private def hashedShingleIndex(df: DataFrame, textCol: String,
                                  idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    // Widen BETWEEN scan and shingling: the expensive expression runs on
+    // every core instead of the scan's (possibly single-file) split count.
+    graft.plans.Widen(df.select(col(idCol).as("doc_id"),
+        col(textCol).as("_text")))
+      .select(col("doc_id"),
         graft.functions.hashExprs.hashed_word_shingles(
-          TextAnalysis.words(col(textCol)), 3).as("shh"))
+          TextAnalysis.words(col("_text")), 3).as("shh"))
       // Shingle-less docs (<3 words) are dropped: they can't be n-gram
       // near-dups, and at web scale every such doc would hash into the
       // SAME MinHash band buckets — one quadratic hot bucket.
@@ -395,7 +399,9 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val t = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sim"))
+    val t = graft.plans.Widen(df.select(col(idCol).as("doc_id"),
+        col(textCol).as("_text")))
+      .select(col("doc_id"), simhash(col("_text")).as("sim"))
     val bucketed = t.select(col("doc_id"), col("sim"), explode(simhashBands(col("sim"))).as("bb"))
       .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bucket"))
     val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))

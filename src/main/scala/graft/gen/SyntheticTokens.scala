@@ -159,7 +159,11 @@ object SyntheticTokens {
   }
 
   def spannedFrom(spark: SparkSession, sfDir: String): DataFrame =
-    spanned(readDocuments(spark, sfDir))
+    // widen between the (single-file) scan and the token-generation
+    // expressions so var_step_token_gen + downstream gram hashing run on
+    // every core (r6: the span family's occurrence stage was single-task)
+    spanned(graft.plans.Widen(
+      readDocuments(spark, sfDir).select(col("doc_id"), col("source"))))
 
   /** Sources dimension (broadcast side of the referential check):
     * distinct sources of the CLEAN documents + a deterministic weight.
