@@ -186,6 +186,9 @@ object Curation {
     * strictly cheaper than a second corpus scan at any scale. The eval side
     * is benchmark-sized by construction (see contaminationHits); if it
     * ever outgrows a broadcast, drop the hint to degrade to a shuffle join.
+    * (r6: the scan is Widen-ed — on narrow fixture inputs one adaptive
+    * repartition precedes the heavy projection; identity at real scan
+    * widths, so "the aggregate is the only shuffle" still holds there.)
     */
   def gate(train: DataFrame, evalSet: DataFrame, textCol: String,
            idCol: String, stops: Seq[String], minQuality: Long = 1L,
@@ -196,12 +199,13 @@ object Curation {
       .select(explode(word_shingles(TextAnalysis.words(col(textCol)), n)).as("g"))
       .distinct()
       .withColumn("_hit", lit(1))
-    val perRow = train
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.words(col(textCol)).as("_ws"),
-        TextAnalysis.wordCount(col(textCol)).as("words"),
-        TextAnalysis.punctCount(col(textCol)).as("punct"),
-        TextAnalysis.stopwordCount(col(textCol), stops).as("stops"))
+    val perRow = graft.plans.Widen(
+        train.select(col(idCol).as("doc_id"), col(textCol).as("_text")))
+      .select(col("doc_id"),
+        TextAnalysis.words(col("_text")).as("_ws"),
+        TextAnalysis.wordCount(col("_text")).as("words"),
+        TextAnalysis.punctCount(col("_text")).as("punct"),
+        TextAnalysis.stopwordCount(col("_text"), stops).as("stops"))
       .select(col("doc_id"), col("words"), col("punct"), col("stops"),
         dupFracOfWords(col("_ws"), 2).as("dup2_frac"),
         dupFracOfWords(col("_ws"), 3).as("dup3_frac"),

@@ -59,9 +59,15 @@ object Dedup {
 
   def jaccard(a: Column, b: Column): Column = {
     // two empty sets: J = 0 (not a near-dup pair), and 0/0 would throw
-    // under ANSI; candidate generation filters empty-shingle docs anyway
-    val u = size(array_union(a, b))
-    when(u === 0, lit(0.0)).otherwise(size(array_intersect(a, b)).cast("double") / u)
+    // under ANSI; candidate generation filters empty-shingle docs anyway.
+    // Inputs are the DUPLICATE-FREE hashed-shingle sets, so
+    // |union| = |a| + |b| − |inter| and one fused intersect-count replaces
+    // the two generic set builds + result array of array_intersect/union
+    // (same integers ⇒ bit-identical quotient; ~half of the verify-stage
+    // wall in the r6 stage profile).
+    val inter = graft.functions.hashExprs.array_long_intersect_count(a, b)
+    val u = size(a) + size(b) - inter
+    when(u === 0, lit(0.0)).otherwise(inter.cast("double") / u)
   }
 
   /** Exact n-gram Jaccard near-dup pairs at scale: candidate generation via
@@ -252,7 +258,8 @@ object Dedup {
       .join(th.select(col("doc_id").as("doc_a"), col("shh").as("sha"), col("sz").as("sza")), Seq("doc_a"))
       .join(th.select(col("doc_id").as("doc_b"), col("shh").as("shb"), col("sz").as("szb")), Seq("doc_b"))
       .withColumn("cont",
-        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        round(graft.functions.hashExprs.array_long_intersect_count(
+          col("sha"), col("shb")).cast("double") /
           least(col("sza"), col("szb")), 6))
       .filter(col("cont") >= tau)
       .select(col("doc_a"), col("doc_b"), col("cont"))

@@ -162,6 +162,70 @@ final case class HashedWordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** |distinct(a) ∩ distinct(b)| of two long arrays in one tight loop — the
+  * fused replacement for `size(array_intersect(a, b))` (and, with the
+  * operand sizes, for `size(array_union)` = szA + szB − inter on
+  * duplicate-free arrays): the candidate-verify stages of the
+  * Jaccard/containment pipelines evaluated TWO generic set builds plus a
+  * materialized result array per candidate pair, measured r6 as ~1.6 s of
+  * dedup_containment's 2.9 s (two ~800 ms verify stages). One
+  * open-addressed long table (no boxing, no result array) probes the
+  * larger side against the smaller. Count semantics match array_intersect
+  * exactly: distinct common elements; a null element (never present in
+  * the hashed-shingle inputs, but handled for parity) counts once iff
+  * both sides contain null.
+  */
+final case class ArrayLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_long_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    var small = a.asInstanceOf[ArrayData]
+    var large = b.asInstanceOf[ArrayData]
+    if (small.numElements() > large.numElements()) { val t = small; small = large; large = t }
+    val n = small.numElements()
+    val m = large.numElements()
+    if (n == 0) return 0
+    var cap = 4
+    while (cap < n * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    val state = new Array[Byte](cap) // 0 empty, 1 present, 2 counted
+    var smallHasNull = false
+    var i = 0
+    while (i < n) {
+      if (small.isNullAt(i)) smallHasNull = true
+      else {
+        val v = small.getLong(i)
+        var slot = (java.lang.Long.hashCode(v) & Int.MaxValue) & mask
+        while (state(slot) != 0 && table(slot) != v) slot = (slot + 1) & mask
+        if (state(slot) == 0) { table(slot) = v; state(slot) = 1 }
+      }
+      i += 1
+    }
+    var cnt = 0
+    var largeHasNull = false
+    var j = 0
+    while (j < m) {
+      if (large.isNullAt(j)) largeHasNull = true
+      else {
+        val v = large.getLong(j)
+        var slot = (java.lang.Long.hashCode(v) & Int.MaxValue) & mask
+        while (state(slot) != 0 && table(slot) != v) slot = (slot + 1) & mask
+        if (state(slot) == 1) { state(slot) = 2; cnt += 1 }
+      }
+      j += 1
+    }
+    if (smallHasNull && largeHasNull) cnt + 1 else cnt
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 63-bit SimHash over a word array. The word hash is a PURE-ARITHMETIC
   * polynomial (h = fold (h*131 + codepoint) mod P over characters, P =
   * 1e9+7) and bit b's ±1 vote is the parity of (h*(2b+3) + 7919*(b+1))
@@ -596,6 +660,9 @@ object hashExprs {
 
   def hashed_word_shingles(words: Column, n: Int): Column =
     toCol(HashedWordShingles(toExpr(words), n))
+
+  def array_long_intersect_count(a: Column, b: Column): Column =
+    toCol(ArrayLongIntersectCount(toExpr(a), toExpr(b)))
 
   def word_shingles(words: Column, n: Int): Column =
     toCol(WordShingles(toExpr(words), n))

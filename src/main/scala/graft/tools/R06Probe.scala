@@ -43,11 +43,16 @@ object R06Probe {
       stages.foreach { case (id, n, w, t) => println(f"[r6]   stage $id%3d $w%6d ms $t%3d tasks  $n") }
     }
 
-    probe("dedup_groups") { mat(Queries.dedupGroups(s, dir)) }
     probe("dedup_containment") { mat(Queries.dedupContainment(s, dir)) }
-    probe("span_trim") { mat(Queries.spanTrim(s, dir)) }
-    probe("span_hot") { mat(Queries.spanHot(s, dir)) }
-    probe("dedup_minhash_lsh") { mat(Queries.dedupMinhashLsh(s, dir)) }
+    probe("dedup_lines") { mat(Queries.dedupLines(s, dir)) }
+    probe("ngram_novelty") { mat(Queries.ngramNovelty(s, dir)) }
+    probe("avro_roundtrip") { mat(Queries.avroRoundtrip(s, dir)) }
+    probe("decontam_bloom") { mat(Queries.decontamBloom(s, dir)) }
+    probe("ckpt_resume") { mat(Queries.ckptResume(s, dir)) }
+    probe("events_sessionize") { mat(Queries.eventsSessionize(s, dir)) }
+    probe("text_tfidf") { mat(Queries.textTfidf(s, dir)) }
+    probe("curation_gate") { mat(Queries.curationGate(s, dir)) }
+    probe("source_overlap") { mat(Queries.sourceOverlap(s, dir)) }
     s.stop()
   }
 }

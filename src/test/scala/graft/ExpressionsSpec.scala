@@ -127,6 +127,31 @@ class ExpressionsSpec extends SparkTestBase {
     assert(short.getSeq[Long](1) === Seq(0L, 0L, 0L, 0L))
   }
 
+  test("ArrayLongIntersectCount equals size(array_intersect) on hashed shingle sets " +
+      "and on adversarial duplicate/empty arrays") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        hashExprs.hashed_word_shingles(
+          graft.text.TextAnalysis.words(col("text")), 3).as("sh"))
+    val a = d.select(col("doc_id").as("ia"), col("sh").as("sa"))
+    val b = d.select(col("doc_id").as("ib"), col("sh").as("sb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib") && pmod(col("ia") + col("ib"), lit(7L)) === 0L)
+    assert(pairs.filter(
+      hashExprs.array_long_intersect_count(col("sa"), col("sb")) =!=
+        size(array_intersect(col("sa"), col("sb")))).count() === 0L)
+    // duplicates inside an operand, empty operands, disjoint sets
+    import spark.implicits._
+    val edge = Seq(
+      (Seq(1L, 2L, 2L, 3L), Seq(2L, 2L, 4L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(5L, 6L), Seq(7L, 8L)),
+      (Seq(1L, 1L, 1L), Seq(1L))
+    ).toDF("x", "y")
+    assert(edge.filter(
+      hashExprs.array_long_intersect_count(col("x"), col("y")) =!=
+        size(array_intersect(col("x"), col("y")))).count() === 0L)
+  }
+
   test("SimHash63: deterministic, near-identical docs have small hamming distance") {
     import spark.implicits._
     val words = (1 to 60).map(i => s"word$i")
