@@ -125,10 +125,10 @@ object Dedup {
     * it spills, never OOMs, and the session's cache teardown frees it).
     */
   private def hashedShingleIndex(df: DataFrame, textCol: String,
-                                 idCol: String): DataFrame =
+                                 idCol: String): DataFrame = {
     // Widen BETWEEN scan and shingling: the expensive expression runs on
     // every core instead of the scan's (possibly single-file) split count.
-    graft.plans.Widen(df.select(col(idCol).as("doc_id"),
+    val idx = graft.plans.Widen(df.select(col(idCol).as("doc_id"),
         col(textCol).as("_text")))
       .select(col("doc_id"),
         graft.functions.hashExprs.hashed_word_shingles(
@@ -139,6 +139,12 @@ object Dedup {
       .filter(size(col("shh")) > 0)
       .withColumn("sz", size(col("shh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOT eagerly materialized: AQE's concurrent stage materializations
+    // can each recompute a not-yet-filled cache, but post-Widen those
+    // duplicate builds run wide and cheap — an up-front count() job was
+    // measured net-negative (the barrier costs more than the redundancy).
+    idx
+  }
 
   /** (doc_id, band, bucket) rows of a hashed-shingle index frame. */
   private def bucketize(th: DataFrame, numPerm: Int, bands: Int): DataFrame =

@@ -68,6 +68,24 @@ object FuseGenChecks extends Rule[LogicalPlan] {
   private def isNotNullOf(g: TokenArrayGen): Expression =
     And(IsNotNull(g.orig), IsNotNull(g.n))
 
+  /** The Join sides a fused column may be read from / injected into:
+    * only sides that are NEVER null-supplemented by the join. On the
+    * null-supplemented side (right of LEFT OUTER, left of RIGHT OUTER,
+    * both of FULL OUTER) the injected attribute would be nulled where the
+    * original IsNull(array) is TRUE — a silent result change (ADVICE r5).
+    * Current in-repo shapes keep generators on the stream side, so this
+    * is purely defensive, but the rule runs on EVERY session plan.
+    */
+  private def fusableSides(j: Join): Seq[LogicalPlan] = j.joinType match {
+    case org.apache.spark.sql.catalyst.plans.Inner |
+         org.apache.spark.sql.catalyst.plans.Cross => Seq(j.left, j.right)
+    case org.apache.spark.sql.catalyst.plans.LeftOuter |
+         org.apache.spark.sql.catalyst.plans.LeftSemi |
+         org.apache.spark.sql.catalyst.plans.LeftAnti => Seq(j.left)
+    case org.apache.spark.sql.catalyst.plans.RightOuter => Seq(j.right)
+    case _ => Seq.empty // FullOuter / Existence: conservatively none
+  }
+
   /** Generator aliases visible from `p` descending ONLY through
     * Filter/Join nodes (an intervening Project/Aggregate changes scope —
     * those shapes are left to the in-tree rewrite after CollapseProject).
@@ -77,7 +95,9 @@ object FuseGenChecks extends Rule[LogicalPlan] {
       case al @ Alias(g: TokenArrayGen, _) => al.exprId -> g
     }.toMap
     case f: Filter => reachableGens(f.child)
-    case j: Join => reachableGens(j.left) ++ reachableGens(j.right)
+    case j: Join =>
+      fusableSides(j).map(reachableGens).foldLeft(
+        Map.empty[ExprId, TokenArrayGen])(_ ++ _)
     case _ => Map.empty
   }
 
@@ -94,7 +114,10 @@ object FuseGenChecks extends Rule[LogicalPlan] {
       if (mine.isEmpty) pr else Project(pr.projectList ++ mine, pr.child)
     case f: Filter => f.copy(child = inject(f.child, adds))
     case j: Join =>
-      j.copy(left = inject(j.left, adds), right = inject(j.right, adds))
+      val sides = fusableSides(j).toSet
+      j.copy(
+        left = if (sides.contains(j.left)) inject(j.left, adds) else j.left,
+        right = if (sides.contains(j.right)) inject(j.right, adds) else j.right)
     case other => other
   }
 
@@ -131,7 +154,7 @@ object FuseGenChecks extends Rule[LogicalPlan] {
                   }
                 else None
               case f: Filter => find(f.child)
-              case j: Join => find(j.left).orElse(find(j.right))
+              case j: Join => fusableSides(j).view.flatMap(find(_)).headOption
               case _ => None
             }
             n.children.view.flatMap(find(_)).headOption

@@ -50,6 +50,23 @@ class FuseGenChecksSpec extends SparkTestBase {
     assert(fused.filter(col("viol")).count() > 0L) // non-vacuous
   }
 
+  test("no fusion across the null-supplemented side of an outer join " +
+       "(ADVICE r5): IsNull over a right-side generator stays correct") {
+    // generator lives on the RIGHT of a LEFT OUTER join; unmatched left
+    // rows null-supplement the array, so isnull(toks) must be TRUE there —
+    // a fused column injected below the join would be null-supplemented to
+    // NULL instead. The rule must leave this shape alone.
+    val gen = base.filter(col("id") < 2500L).select(col("id").as("rid"),
+      exprs.token_array_gen(col("id"), col("n"), TokA, TokB, TokC, Vocab).as("toks"))
+    val joined = base.select(col("id"))
+      .join(gen, col("id") === col("rid"), "left_outer")
+      .select(col("id"), isnull(col("toks")).as("gone"))
+    // matched rows: generator non-null => gone = false; unmatched: true
+    val got = joined.groupBy(col("gone")).count().as[(Boolean, Long)]
+      .collect().toMap
+    assert(got === Map(false -> 2500L, true -> 2500L), got.toString)
+  }
+
   test("null generator input yields null violated flag AND null size, as unfused") {
     val df = Seq((Option(7L), 5), (Option.empty[Long], 5)).toDF("id", "n")
       .select(col("id"),
