@@ -250,19 +250,56 @@ object Dedup {
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        tau: Double, dfCap: Int = 100): DataFrame = {
     val th = hashedShingleIndex(df, textCol, idCol)
+    // Persisted + eagerly filled: the screen below gives the posting
+    // frame THREE consumers (lowc, candidate aggregate, and the r5 pair
+    // explode), whose differently-pruned plans defeat AQE stage reuse —
+    // measured as five concurrent redundant materializations of the
+    // explode+collect_list subtree. One filled cache serves them all.
     val postings = th
       .select(col("doc_id"), explode(col("shh")).as("gh"))
       .groupBy(col("gh"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= dfCap)
-    val cand = postings
+      .select(col("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postings.count()
+    // Exact-safe candidate screen (r6): on boilerplate-shingled corpora
+    // the ≤dfCap posting lists emit FAR more pairs than survive the
+    // containment verify (measured sf0.1: 1.15M distinct candidates → 46
+    // output rows), and each verify costs a full shingle-set
+    // intersection with the arrays re-joined per side. The candidate
+    // aggregate already yields cntLow(a,b) = |A∩B ∩ low-df shingles| for
+    // free (count instead of dropDuplicates — same shuffle), and the
+    // per-doc count of cap-surviving shingles `low` gives the exact
+    // bound |A∩B| ≤ cntLow + min(szA−lowA, szB−lowB): shingles outside
+    // the low-df lists can contribute at most each side's dropped count.
+    // round() is monotone, so round(bound/min, 6) < tau proves
+    // round(cont, 6) < tau — pruned pairs can NEVER pass the final
+    // filter, and the kept pairs run the identical verify formula:
+    // output rows are bit-identical (oracle compare green). The heavy
+    // array joins now touch survivors only; the 1.15M-row screen joins
+    // carry three longs per row.
+    val lowc = postings.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("low"))
+    val meta = th.select(col("doc_id"), col("sz"))
+      .join(lowc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"), coalesce(col("low"), lit(0L)).as("low"))
+    val screened = postings
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(th.select(col("doc_id").as("doc_a"), col("shh").as("sha"), col("sz").as("sza")), Seq("doc_a"))
-      .join(th.select(col("doc_id").as("doc_b"), col("shh").as("shb"), col("sz").as("szb")), Seq("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_cl"))
+      .join(meta.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
+        col("low").as("lowa")), Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
+        col("low").as("lowb")), Seq("doc_b"))
+      .filter(round(
+        (col("_cl") + least(col("sza") - col("lowa"), col("szb") - col("lowb")))
+          .cast("double") / least(col("sza"), col("szb")), 6) >= tau)
+      .select(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+    screened
+      .join(th.select(col("doc_id").as("doc_a"), col("shh").as("sha")), Seq("doc_a"))
+      .join(th.select(col("doc_id").as("doc_b"), col("shh").as("shb")), Seq("doc_b"))
       .withColumn("cont",
         round(graft.functions.hashExprs.array_long_intersect_count(
           col("sha"), col("shb")).cast("double") /

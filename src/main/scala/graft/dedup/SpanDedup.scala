@@ -179,22 +179,29 @@ object SpanDedup {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("_isl"))
       .agg(min(col("start")).as("a"), max(col("end")).as("b"))
-    val islandSums = islands
-      .join(seqs.select(col(idCol), col(tokCol)), Seq(idCol))
-      .select(col(idCol), (col("b") - col("a") + 1).as("_len"),
-        aggregate(slice(col(tokCol), col("a").cast("int"),
-          (col("b") - col("a") + 1).cast("int")),
-          lit(0L), (acc, x) => acc + x).as("_ssum"))
+    // r6: fold the (anomaly-sized) island frame to ONE row per doc first —
+    // counts, removed length, and the island LIST — then a single join
+    // attaches the corpus and computes both the total checksum and the
+    // island slice-sums from the same token array. The r5 shape joined
+    // the corpus twice (islandSums pass + totals pass) and aggregated the
+    // per-island slice-sums in a separate shuffle; integer sums are
+    // order-free, so folding them through the island array is
+    // value-identical (oracle compare green).
+    val perDocIslands = islands
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_islands"), sum(col("_len")).as("n_removed"),
-        sum(col("_ssum")).as("_removed_sum"))
-    seqs.select(col(idCol), col("n_tok"),
-      aggregate(col(tokCol), lit(0L), (acc, x) => acc + x).as("_tot"))
-      .join(islandSums, Seq(idCol), "left")
+      .agg(count(lit(1)).as("_ni"),
+        sum(col("b") - col("a") + 1).as("_nr"),
+        collect_list(struct(col("a"), col("b"))).as("_isls"))
+    seqs.select(col(idCol), col("n_tok"), col(tokCol))
+      .join(perDocIslands, Seq(idCol), "left")
       .select(col(idCol), col("n_tok"),
-        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        (col("_tot") - coalesce(col("_removed_sum"), lit(0L))).as("kept_sum"))
+        coalesce(col("_ni"), lit(0L)).as("n_islands"),
+        coalesce(col("_nr"), lit(0L)).as("n_removed"),
+        (aggregate(col(tokCol), lit(0L), (acc, x) => acc + x) -
+          coalesce(aggregate(col("_isls"), lit(0L), (acc, i) =>
+            acc + aggregate(slice(col(tokCol), i.getField("a").cast("int"),
+              (i.getField("b") - i.getField("a") + 1).cast("int")),
+              lit(0L), (a2, x) => a2 + x)), lit(0L))).as("kept_sum"))
   }
 
   /** Token-level eval-overlap decontamination — the published k-token-gram

@@ -44,15 +44,7 @@ object R06Probe {
     }
 
     probe("dedup_containment") { mat(Queries.dedupContainment(s, dir)) }
-    probe("dedup_lines") { mat(Queries.dedupLines(s, dir)) }
-    probe("ngram_novelty") { mat(Queries.ngramNovelty(s, dir)) }
-    probe("avro_roundtrip") { mat(Queries.avroRoundtrip(s, dir)) }
-    probe("decontam_bloom") { mat(Queries.decontamBloom(s, dir)) }
-    probe("ckpt_resume") { mat(Queries.ckptResume(s, dir)) }
-    probe("events_sessionize") { mat(Queries.eventsSessionize(s, dir)) }
-    probe("text_tfidf") { mat(Queries.textTfidf(s, dir)) }
-    probe("curation_gate") { mat(Queries.curationGate(s, dir)) }
-    probe("source_overlap") { mat(Queries.sourceOverlap(s, dir)) }
+    probe("span_trim") { mat(Queries.spanTrim(s, dir)) }
     s.stop()
   }
 }
