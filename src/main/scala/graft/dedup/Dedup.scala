@@ -284,10 +284,15 @@ object Dedup {
     val meta = th.select(col("doc_id"), col("sz"))
       .join(lowc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("sz"), coalesce(col("low"), lit(0L)).as("low"))
+    // One-pass pair emission ([[graft.functions.ArrayLongOrderedPairs]]):
+    // the explode×explode+filter form materialized df² rows per posting
+    // list and dropped over half at `doc_a < doc_b`; the expression emits
+    // exactly the surviving df·(df−1)/2 combinations (multiset-identical,
+    // property-tested), halving the generated rows into the pair shuffle.
     val screened = postings
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(explode(graft.functions.hashExprs.array_long_ordered_pairs(
+        col("ids"))).as("_p"))
+      .select(col("_p.a").as("doc_a"), col("_p.b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_cl"))
       .join(meta.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
         col("low").as("lowa")), Seq("doc_a"))

@@ -643,6 +643,61 @@ final case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All unordered value pairs {x, y} with x < y of a long array, emitted
+  * in ONE pass as array<struct<a, b>> (a = the smaller value). The
+  * containment candidate generator's explode×explode formulation
+  * materializes df² rows per posting list and discards over half at the
+  * `doc_a < doc_b` filter; this emits exactly the surviving
+  * df·(df−1)/2 combinations — half the generated-row volume and one
+  * generator node instead of two. Multiset-identical to the explode
+  * form on every edge: one pair per INDEX combination whose values
+  * differ (duplicate values: both forms emit the pair once per index
+  * combination; equal values: both drop it — x < x is false), and null
+  * elements are skipped (null fails `<` in the explode form).
+  * Property-tested against the explode formulation in ExpressionsSpec.
+  * CodegenFallback per the file-header rationale (≤dfCap² ALU ops per
+  * row dwarf the dispatch).
+  */
+final case class ArrayLongOrderedPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "array_long_ordered_pairs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.catalyst.InternalRow](math.max(n * (n - 1) / 2, 0))
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        var j = i + 1
+        while (j < n) {
+          if (!arr.isNullAt(j)) {
+            val y = arr.getLong(j)
+            if (x != y) {
+              val lo = if (x < y) x else y
+              val hi = if (x < y) y else x
+              out += new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](lo, hi))
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object hashExprs {
   import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
 
@@ -663,6 +718,9 @@ object hashExprs {
 
   def array_long_intersect_count(a: Column, b: Column): Column =
     toCol(ArrayLongIntersectCount(toExpr(a), toExpr(b)))
+
+  def array_long_ordered_pairs(a: Column): Column =
+    toCol(ArrayLongOrderedPairs(toExpr(a)))
 
   def word_shingles(words: Column, n: Int): Column =
     toCol(WordShingles(toExpr(words), n))

@@ -152,6 +152,31 @@ class ExpressionsSpec extends SparkTestBase {
         size(array_intersect(col("x"), col("y")))).count() === 0L)
   }
 
+  test("ArrayLongOrderedPairs emits the exact pair multiset of the " +
+      "explode-explode screen, incl duplicate/null/empty lists") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val lists: Seq[(Long, Seq[java.lang.Long])] = (0L until 80L).map { i =>
+      val n = rnd.nextInt(9)
+      i -> Seq.fill(n)(if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(6).toLong))
+    } :+ (100L -> Seq.empty[java.lang.Long])
+    val df = lists.toDF("lid", "ids")
+    // reference: the containment screen's original formulation
+    val ref = df.select(col("lid"), explode(col("ids")).as("a"), col("ids"))
+      .select(col("lid"), col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("lid", "a", "b").count()
+    val fast = df.select(col("lid"),
+        explode(hashExprs.array_long_ordered_pairs(col("ids"))).as("p"))
+      .select(col("lid"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("lid", "a", "b").count()
+    assert(ref.count() === fast.count())
+    assert(ref.unionByName(fast).distinct().count() === ref.count())
+    // sanity: some duplicates actually occurred so the dup edge is covered
+    assert(ref.filter(col("count") > 1).count() > 0L)
+  }
+
   test("SimHash63: deterministic, near-identical docs have small hamming distance") {
     import spark.implicits._
     val words = (1 to 60).map(i => s"word$i")
